@@ -1,0 +1,112 @@
+"""Along-ray sampling: stratified coarse z values and inverse-CDF resampling.
+
+``sample_pdf`` is the hierarchical-sampling hot path that the reference backs
+with its only CUDA kernel (``torchsearchsorted/``; invocation at
+``run_nerf_helpers.py:497-540``). On TPU the binary search is replaced with a
+branchless compare-and-count that vectorizes on the VPU:
+``index = #\\{cdf bins <= u\\}`` is an ``O(N_samples * N_bins)`` dense compare —
+at NeRF sizes (64 x 65) this maps to a handful of 8x128 VPU ops per ray and
+fuses with the surrounding gather/lerp. A fused Pallas kernel lives in
+``ops/sampling_pallas.py``; this module is the jnp reference implementation
+both run against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z_vals(
+    near,
+    far,
+    N_samples: int,
+    *,
+    lindisp: bool = False,
+    perturb: bool = True,
+    rng: jax.Array | None = None,
+):
+    """Coarse sample depths for a batch of rays.
+
+    ``near``/``far`` are ``[N_rays, 1]`` (or broadcastable). Returns
+    ``z_vals [N_rays, N_samples]``. With ``perturb``, each ray gets stratified
+    jitter inside the bin midpoints, exactly the reference scheme
+    (``run_nerf.py:571-593``).
+    """
+    t_vals = jnp.linspace(0.0, 1.0, N_samples, dtype=jnp.float32)
+    if not lindisp:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+    z_vals = jnp.broadcast_to(z_vals, near.shape[:-1] + (N_samples,))
+
+    if perturb:
+        if rng is None:
+            raise ValueError("perturb=True requires an rng key")
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * t_rand
+    return z_vals
+
+
+def searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Batched row-wise ``searchsorted(..., side='right')``.
+
+    ``sorted_seq [..., A]``, ``values [..., V]`` -> int32 ``[..., V]`` with
+    ``out[b, i] = #{j : sorted_seq[b, j] <= values[b, i]}``, the contract of the
+    reference's native kernel (``torchsearchsorted/src/cpu/
+    searchsorted_cpu_wrapper.cpp:20-28`` with ``side='right'``).
+
+    Implemented branchlessly as a dense compare + sum over the bin axis: for
+    the small, static bin counts of NeRF this beats a data-dependent binary
+    search on the VPU and fuses with neighbours.
+    """
+    return jnp.sum(
+        (values[..., :, None] >= sorted_seq[..., None, :]).astype(jnp.int32), axis=-1
+    )
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    N_samples: int,
+    *,
+    det: bool = False,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Inverse-CDF importance sampling of ``N_samples`` new depths per ray.
+
+    ``bins [N_rays, B]`` are z midpoints, ``weights [N_rays, B-1]`` the coarse
+    compositing weights for the interior samples. Semantics mirror the
+    reference ``sample_pdf`` (``run_nerf_helpers.py:497-540``): +1e-5 weight
+    floor, zero-prepended CDF, uniform (det) or random draws, clamped
+    below/above gather and guarded linear interpolation.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [N, B]
+
+    shape = cdf.shape[:-1] + (N_samples,)
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N_samples, dtype=cdf.dtype), shape)
+    else:
+        if rng is None:
+            raise ValueError("det=False requires an rng key")
+        u = jax.random.uniform(rng, shape, dtype=cdf.dtype)
+
+    inds = searchsorted_right(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)

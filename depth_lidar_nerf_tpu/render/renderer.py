@@ -1,0 +1,210 @@
+"""The volumetric renderer: one fused XLA computation per ray batch.
+
+This replaces the reference's render stack (``render`` -> ``batchify_rays`` ->
+``render_rays`` -> ``run_network`` -> ``batchify``, ``run_nerf.py:50-194,
+520-675``) with a single pure function. There are no chunk/netchunk Python
+loops: the full coarse pass, inverse-CDF fine resampling, fine pass and
+compositing lower to one XLA program, so the MXU sees two large
+``[N_rays * N_samples, W]`` matmul pipelines per step. Image-sized batches are
+tiled with ``lax.map`` in :func:`render_image` purely to bound HBM, not as a
+scheduling mechanism.
+
+Ray parametrization parity (``run_nerf.py:112-194``): rays carry origin,
+direction, near, far and (optionally) the *unnormalized pre-NDC* view
+direction, normalized here exactly as the reference normalizes before the NDC
+warp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from depth_lidar_nerf_tpu.ops.compositing import raw2outputs
+from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+from depth_lidar_nerf_tpu.ops.rays import camera_rays, ndc_rays
+from depth_lidar_nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering hyperparameters (config_parser flags, run_nerf.py:693-747)."""
+
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: bool = True
+    lindisp: bool = False
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    use_viewdirs: bool = True
+    multires: int = 10
+    multires_views: int = 4
+    num_semantic_classes: int = 0
+    ndc: bool = True
+    near: float = 0.0
+    far: float = 1.0
+
+    def eval_mode(self) -> "RenderConfig":
+        """Test-time variant: no jitter, no sigma noise (run_nerf.py:502-504)."""
+        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+
+
+class Rays(NamedTuple):
+    origins: jnp.ndarray  # [N, 3] (possibly NDC-warped)
+    directions: jnp.ndarray  # [N, 3] (possibly NDC-warped)
+    viewdirs: Optional[jnp.ndarray]  # [N, 3] unit, pre-NDC; None w/o viewdirs
+    near: jnp.ndarray  # [N, 1]
+    far: jnp.ndarray  # [N, 1]
+
+
+def make_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cfg: RenderConfig,
+    H: int | None = None,
+    W: int | None = None,
+    focal=None,
+) -> Rays:
+    """Package world-space rays: viewdirs from pre-NDC directions, NDC warp.
+
+    Parity: ray-batch assembly in ``render`` (``run_nerf.py:145-183``).
+    """
+    rays_o = rays_o.reshape(-1, 3).astype(jnp.float32)
+    rays_d = rays_d.reshape(-1, 3).astype(jnp.float32)
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if cfg.ndc:
+        if H is None or W is None or focal is None:
+            raise ValueError("ndc=True requires H, W and focal in make_rays()")
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    near = jnp.full_like(rays_d[..., :1], cfg.near)
+    far = jnp.full_like(rays_d[..., :1], cfg.far)
+    return Rays(rays_o, rays_d, viewdirs, near, far)
+
+
+def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
+                  frozen_sigma=None):
+    """Encode and evaluate the field at ``pts [N, S, 3]``.
+
+    Fuses the reference's ``run_network`` embed + chunked apply
+    (``run_nerf.py:60-74``) into the surrounding computation.
+    """
+    pts_embed = positional_encoding(pts, cfg.multires)
+    views_embed = None
+    if cfg.use_viewdirs:
+        ve = positional_encoding(viewdirs, cfg.multires_views)  # [N, Ev]
+        views_embed = jnp.broadcast_to(ve[..., None, :], pts.shape[:-1] + ve.shape[-1:])
+    return model.apply(params, pts_embed, views_embed, frozen_sigma=frozen_sigma)
+
+
+def render_rays(
+    model,
+    fine_model,
+    params: Dict[str, Any],
+    rays: Rays,
+    cfg: RenderConfig,
+    rng: jax.Array | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Coarse + hierarchical-fine volumetric rendering of a ray batch.
+
+    Returns the reference's result dictionary (``run_nerf.py:648-663``):
+    ``rgb_map/disp_map/acc_map/depth_map/weights`` for the fine pass plus
+    ``*_0`` coarse maps, ``z_std``, and ``sem_preds``/``sem_preds0`` when the
+    semantic head is active. ``params`` holds ``{"coarse": ..., "fine": ...}``.
+    """
+    k_strat = k_noise_c = k_pdf = k_noise_f = None
+    if rng is not None:
+        k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
+
+    z_vals = stratified_z_vals(
+        rays.near, rays.far, cfg.N_samples,
+        lindisp=cfg.lindisp, perturb=cfg.perturb, rng=k_strat,
+    )
+    pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., :, None]
+    raw = query_network(model, params["coarse"], pts, rays.viewdirs, cfg)
+    coarse = raw2outputs(
+        raw, z_vals, rays.directions,
+        raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
+        rng=k_noise_c, num_semantic_classes=cfg.num_semantic_classes,
+    )
+
+    ret = {
+        "rgb_map": coarse.rgb, "disp_map": coarse.disp, "acc_map": coarse.acc,
+        "depth_map": coarse.depth, "weights": coarse.weights,
+    }
+    if coarse.semantic is not None:
+        ret["sem_preds"] = coarse.semantic
+
+    if cfg.N_importance > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            z_mid, coarse.weights[..., 1:-1], cfg.N_importance,
+            det=not cfg.perturb, rng=k_pdf,
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        pts = (rays.origins[..., None, :]
+               + rays.directions[..., None, :] * z_all[..., :, None])
+        raw_f = query_network(
+            fine_model if fine_model is not None else model,
+            params["fine"] if fine_model is not None else params["coarse"],
+            pts, rays.viewdirs, cfg,
+        )
+        fine = raw2outputs(
+            raw_f, z_all, rays.directions,
+            raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
+            rng=k_noise_f, num_semantic_classes=cfg.num_semantic_classes,
+        )
+        ret.update({
+            "rgb0": coarse.rgb, "disp0": coarse.disp, "acc0": coarse.acc,
+            "depth_map0": coarse.depth,
+            "rgb_map": fine.rgb, "disp_map": fine.disp, "acc_map": fine.acc,
+            "depth_map": fine.depth, "weights": fine.weights,
+            "z_std": jnp.std(z_samples, axis=-1),
+        })
+        if fine.semantic is not None:
+            ret["sem_preds0"] = coarse.semantic
+            ret["sem_preds"] = fine.semantic
+    return ret
+
+
+def render_image(
+    model,
+    fine_model,
+    params: Dict[str, Any],
+    H: int,
+    W: int,
+    focal,
+    c2w,
+    cfg: RenderConfig,
+    tile: int = 16384,
+) -> Dict[str, jnp.ndarray]:
+    """Render a full image pose, tiled over rays to bound HBM.
+
+    Equivalent of ``render(..., c2w=...)`` + chunking (``run_nerf.py:138-189``)
+    but the tile loop is a compiled ``lax.map``, not a Python loop.
+    """
+    rays_o, rays_d = camera_rays(H, W, focal, c2w)
+    rays = make_rays(rays_o, rays_d, cfg, H, W, focal)
+    n = H * W
+    n_pad = (-n) % tile
+    padded = jax.tree.map(
+        lambda x: None if x is None else jnp.pad(x, ((0, n_pad), (0, 0)), mode="edge"),
+        rays,
+    )
+    tiles = jax.tree.map(
+        lambda x: None if x is None else x.reshape(-1, tile, x.shape[-1]), padded
+    )
+
+    def body(r):
+        return render_rays(model, fine_model, params, r, cfg.eval_mode(), rng=None)
+
+    out = jax.lax.map(body, tiles)
+    out = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:])[:n].reshape((H, W) + x.shape[2:]), out
+    )
+    return out

@@ -1,0 +1,104 @@
+"""Renderer integration tests on the CPU backend."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from depth_lidar_nerf_tpu.models import NeRFMLP
+from depth_lidar_nerf_tpu.ops.embedding import embedding_dim
+from depth_lidar_nerf_tpu.render import RenderConfig, make_rays, render_image, render_rays
+
+
+def _setup(num_sem=0, n_importance=8):
+    cfg = RenderConfig(N_samples=16, N_importance=n_importance, perturb=True,
+                       raw_noise_std=1.0, ndc=False, near=2.0, far=6.0,
+                       num_semantic_classes=num_sem, multires=4, multires_views=2)
+    pts_dim = embedding_dim(3, cfg.multires)
+    views_dim = embedding_dim(3, cfg.multires_views)
+    model = NeRFMLP(depth=2, width=32, in_channels=pts_dim,
+                    in_channels_views=views_dim, num_semantic_classes=num_sem)
+    fine = NeRFMLP(depth=2, width=32, in_channels=pts_dim,
+                   in_channels_views=views_dim, num_semantic_classes=num_sem)
+    pe = jnp.zeros((1, pts_dim))
+    ve = jnp.zeros((1, views_dim))
+    params = {
+        "coarse": model.init(jax.random.key(0), pe, ve),
+        "fine": fine.init(jax.random.key(1), pe, ve),
+    }
+    return cfg, model, fine, params
+
+
+def _rand_rays(cfg, n=32, seed=0):
+    k = jax.random.key(seed)
+    ro = jax.random.normal(k, (n, 3))
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (n, 3))
+    return make_rays(ro, rd, cfg)
+
+
+def test_render_rays_keys_and_shapes():
+    cfg, model, fine, params = _setup(num_sem=3)
+    rays = _rand_rays(cfg)
+    out = render_rays(model, fine, params, rays, cfg, rng=jax.random.key(2))
+    assert out["rgb_map"].shape == (32, 3)
+    assert out["rgb0"].shape == (32, 3)
+    assert out["depth_map"].shape == (32,)
+    assert out["z_std"].shape == (32,)
+    assert out["sem_preds"].shape == (32, 3)
+    assert out["sem_preds0"].shape == (32, 3)
+    assert out["weights"].shape == (32, 16 + 8)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_render_rays_no_importance():
+    cfg, model, fine, params = _setup(n_importance=0)
+    rays = _rand_rays(cfg)
+    out = render_rays(model, None, params, rays, cfg, rng=jax.random.key(2))
+    assert "rgb0" not in out and "z_std" not in out
+    assert out["weights"].shape == (32, 16)
+
+
+def test_render_rays_eval_deterministic():
+    cfg, model, fine, params = _setup()
+    rays = _rand_rays(cfg)
+    ecfg = cfg.eval_mode()
+    a = render_rays(model, fine, params, rays, ecfg, rng=None)
+    b = render_rays(model, fine, params, rays, ecfg, rng=None)
+    np.testing.assert_array_equal(np.asarray(a["rgb_map"]), np.asarray(b["rgb_map"]))
+
+
+def test_render_rays_jit_and_grad():
+    cfg, model, fine, params = _setup()
+    rays = _rand_rays(cfg)
+
+    @jax.jit
+    def loss_fn(p, rng):
+        out = render_rays(model, fine, p, rays, cfg, rng=rng)
+        return jnp.mean(out["rgb_map"] ** 2) + jnp.mean(out["rgb0"] ** 2)
+
+    g = jax.grad(loss_fn)(params, jax.random.key(0))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_render_image_tiling():
+    cfg, model, fine, params = _setup()
+    c2w = jnp.eye(4)[:3]
+    H, W = 10, 14
+    out = render_image(model, fine, params, H, W, 12.0, c2w, cfg, tile=32)
+    assert out["rgb_map"].shape == (H, W, 3)
+    assert out["depth_map"].shape == (H, W)
+    # Tiling must not change values: compare against one-shot render.
+    rays_o, rays_d = jax.tree.map(
+        lambda x: x.reshape(-1, 3),
+        __import__("depth_lidar_nerf_tpu.ops.rays", fromlist=["camera_rays"]).camera_rays(
+            H, W, 12.0, c2w),
+    )
+    rays = make_rays(rays_o, rays_d, cfg)
+    ref = render_rays(model, fine, params, rays, cfg.eval_mode(), rng=None)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_map"]).reshape(-1, 3), np.asarray(ref["rgb_map"]),
+        rtol=1e-5, atol=1e-5,
+    )
