@@ -1,0 +1,121 @@
+"""Synthetic LLFF-format scene generator.
+
+Creates a tiny on-disk scene (images/, poses_bounds.npy, depth_gt.npy,
+segmentation_gt.npy) with an analytic world — colored floating blobs — so the
+full CLI pipeline (loaders -> tables -> train -> render -> eval) runs
+end-to-end with no external data. Used by the test suite and the benchmark;
+the reference has no equivalent (it depends on fern_2v / KITTI downloads).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _look_at(eye, target, up=(0, 1, 0)):
+    z = eye - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, eye], axis=1)  # [3, 4] c2w, -z forward
+
+
+_BLOBS = [  # (center, radius, color)
+    (np.array([0.0, 0.0, -4.0]), 1.0, np.array([0.9, 0.2, 0.2])),
+    (np.array([1.2, 0.6, -5.0]), 0.8, np.array([0.2, 0.8, 0.3])),
+    (np.array([-1.1, -0.5, -3.5]), 0.6, np.array([0.2, 0.3, 0.9])),
+]
+_BG = np.array([0.05, 0.05, 0.08])
+
+
+def _trace(ro, rd):
+    """Analytic sphere tracer: returns rgb [N, 3], depth [N], class [N]."""
+    n = ro.shape[0]
+    rgb = np.tile(_BG, (n, 1))
+    depth = np.full(n, 1e5)
+    cls = np.zeros(n, np.int32)  # 0 = background
+    for ci, (c, r, col) in enumerate(_BLOBS):
+        oc = ro - c
+        b = np.sum(oc * rd, -1)
+        cc = np.sum(oc * oc, -1) - r * r
+        disc = b * b - cc * np.sum(rd * rd, -1)
+        hit = disc > 0
+        t = (-b - np.sqrt(np.maximum(disc, 0))) / np.sum(rd * rd, -1)
+        closer = hit & (t > 0.1) & (t < depth)
+        depth = np.where(closer, t, depth)
+        rgb = np.where(closer[:, None], col, rgb)
+        cls = np.where(closer, ci + 1, cls)
+    return rgb, depth, cls
+
+
+def make_scene(
+    basedir: str,
+    n_images: int = 4,
+    H: int = 40,
+    W: int = 52,
+    focal: float = 50.0,
+    n_depth_points: int = 300,
+    seed: int = 0,
+):
+    """Write a complete synthetic LLFF scene to ``basedir``."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(basedir, "images"), exist_ok=True)
+
+    poses_rows, images, depth_gts, segs = [], [], [], []
+    for vi in range(n_images):
+        angle = (vi / max(n_images - 1, 1) - 0.5) * 0.5
+        eye = np.array([np.sin(angle) * 1.5, 0.15 * np.sin(vi), np.cos(angle) * 0.4])
+        c2w = _look_at(eye, np.array([0.0, 0.0, -4.0]))
+
+        i, j = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64), indexing="xy")
+        dirs = np.stack([(i - W * 0.5) / focal, -(j - H * 0.5) / focal,
+                         -np.ones_like(i)], -1)
+        rd = np.einsum("hwc,rc->hwr", dirs, c2w[:3, :3]).reshape(-1, 3)
+        ro = np.broadcast_to(c2w[:3, 3], rd.shape)
+
+        rgb, depth, cls = _trace(ro, rd)
+        img = rgb.reshape(H, W, 3)
+        images.append(img)
+        segs.append(cls.reshape(H, W))
+
+        # Sparse "LiDAR" annotations at random pixels with a surface hit.
+        hit_mask = depth < 1e4
+        hit_idx = np.nonzero(hit_mask)[0]
+        pick = rng.choice(hit_idx, size=min(n_depth_points, len(hit_idx)),
+                          replace=False)
+        coord = np.stack([pick % W, pick // W], axis=-1).astype(np.float64)
+        # Reference depth convention: distance along camera -z axis
+        # (z-depth), as produced by the KITTI projection chain.
+        zdepth = depth[pick] * (-(rd[pick] @ c2w[:3, 2]))
+        depth_gts.append({
+            "depth": zdepth,
+            "coord": coord,
+            "weight": np.ones(len(pick)),
+        })
+
+        from PIL import Image as PILImage
+
+        PILImage.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(basedir, "images", f"im_{vi:03d}.png"))
+
+        hwf = np.array([[H], [W], [focal]], np.float64)
+        poses_rows.append(np.concatenate(
+            [np.concatenate([c2w[:, 0:1], -c2w[:, 1:2], -c2w[:, 2:3], c2w[:, 3:]],
+                            axis=1), hwf], axis=1))
+
+    near = max(0.5, min(d["depth"].min() for d in depth_gts) * 0.8)
+    far = max(d["depth"].max() for d in depth_gts) * 1.2
+    poses_bounds = np.stack([
+        np.concatenate([p.reshape(-1), [near, far]]) for p in poses_rows
+    ])
+    np.save(os.path.join(basedir, "poses_bounds.npy"), poses_bounds)
+    np.save(os.path.join(basedir, "depth_gt.npy"),
+            np.array(depth_gts, dtype=object), allow_pickle=True)
+    np.save(os.path.join(basedir, "segmentation_gt.npy"),
+            {"segmentations": np.stack(segs), "num_classes": len(_BLOBS) + 1},
+            allow_pickle=True)
+    return basedir

@@ -5,7 +5,15 @@ from depth_lidar_nerf_tpu.render.renderer import (
     Rays,
     make_rays,
     render_rays,
+    render_rays_tiled,
     render_image,
 )
 
-__all__ = ["RenderConfig", "Rays", "make_rays", "render_rays", "render_image"]
+__all__ = [
+    "RenderConfig",
+    "Rays",
+    "make_rays",
+    "render_rays",
+    "render_rays_tiled",
+    "render_image",
+]

@@ -172,6 +172,42 @@ def render_rays(
     return ret
 
 
+def render_rays_tiled(
+    model,
+    fine_model,
+    params: Dict[str, Any],
+    rays: Rays,
+    cfg: RenderConfig,
+    rng: jax.Array | None = None,
+    tile: int = 16384,
+) -> Dict[str, jnp.ndarray]:
+    """Render an arbitrarily large ray batch in HBM-bounded tiles.
+
+    The tile loop is a compiled ``lax.map`` (the TPU replacement for the
+    reference's Python ``batchify_rays`` chunk loop, ``run_nerf.py:77-89``);
+    results are bit-identical to a one-shot :func:`render_rays` when
+    ``rng=None``. With an rng, each tile folds in its index.
+    """
+    n = rays.origins.shape[0]
+    tile = min(tile, n)
+    n_pad = (-n) % tile
+    padded = jax.tree.map(lambda x: jnp.pad(x, ((0, n_pad), (0, 0)), mode="edge"), rays)
+    tiles = jax.tree.map(lambda x: x.reshape(-1, tile, x.shape[-1]), padded)
+    n_tiles = padded.origins.shape[0] // tile
+    tile_keys = (
+        jax.random.split(rng, n_tiles) if rng is not None
+        else jnp.zeros((n_tiles,), jnp.int32)
+    )
+
+    def body(args):
+        r, k = args
+        return render_rays(model, fine_model, params, r, cfg,
+                           rng=k if rng is not None else None)
+
+    out = jax.lax.map(body, (tiles, tile_keys))
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+
 def render_image(
     model,
     fine_model,
@@ -185,26 +221,10 @@ def render_image(
 ) -> Dict[str, jnp.ndarray]:
     """Render a full image pose, tiled over rays to bound HBM.
 
-    Equivalent of ``render(..., c2w=...)`` + chunking (``run_nerf.py:138-189``)
-    but the tile loop is a compiled ``lax.map``, not a Python loop.
+    Equivalent of ``render(..., c2w=...)`` + chunking (``run_nerf.py:138-189``).
     """
     rays_o, rays_d = camera_rays(H, W, focal, c2w)
     rays = make_rays(rays_o, rays_d, cfg, H, W, focal)
-    n = H * W
-    n_pad = (-n) % tile
-    padded = jax.tree.map(
-        lambda x: None if x is None else jnp.pad(x, ((0, n_pad), (0, 0)), mode="edge"),
-        rays,
-    )
-    tiles = jax.tree.map(
-        lambda x: None if x is None else x.reshape(-1, tile, x.shape[-1]), padded
-    )
-
-    def body(r):
-        return render_rays(model, fine_model, params, r, cfg.eval_mode(), rng=None)
-
-    out = jax.lax.map(body, tiles)
-    out = jax.tree.map(
-        lambda x: x.reshape((-1,) + x.shape[2:])[:n].reshape((H, W) + x.shape[2:]), out
-    )
-    return out
+    out = render_rays_tiled(model, fine_model, params, rays, cfg.eval_mode(),
+                            rng=None, tile=tile)
+    return jax.tree.map(lambda x: x.reshape((H, W) + x.shape[1:]), out)

@@ -1,0 +1,264 @@
+"""Config/CLI system.
+
+Drop-in compatible with the reference's configargparse setup
+(``config_parser``, ``run_nerf.py:678-882``): every flag keeps its reference
+name and default, configs are the same ``key = value`` text files
+(``configs/fern_dsnerf.txt`` etc.), and any flag can be overridden on the
+command line with ``--flag value`` / ``--flag`` for booleans.
+
+Implementation is a typed dataclass + a small parser (the environment has no
+configargparse; this also gives us a hashable config object that the jitted
+train-step factory can key on).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # experiment / paths
+    config: Optional[str] = None
+    expname: str = "exp"
+    basedir: str = "./logs"
+    datadir: str = "./data/llff/fern"
+    no_reload_optimizer: bool = False  # note: reference flag is store_false (run_nerf.py:690)
+
+    # network arch
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+
+    # optimization
+    N_rand: int = 32 * 32 * 4
+    lrate: float = 5e-4
+    lrate_decay: int = 250
+    chunk: int = 1024 * 32
+    netchunk: int = 1024 * 64
+    no_batching: bool = False
+    no_reload: bool = False
+    ft_path: Optional[str] = None
+
+    # rendering
+    N_samples: int = 64
+    N_importance: int = 0
+    perturb: float = 1.0
+    use_viewdirs: bool = False
+    i_embed: int = 0
+    multires: int = 10
+    multires_views: int = 4
+    raw_noise_std: float = 0.0
+    render_only: bool = False
+    render_test: bool = False
+    render_test_ray: bool = False
+    render_train: bool = False
+    render_mypath: bool = False
+    render_factor: int = 0
+
+    # precrop
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+
+    # dataset
+    dataset_type: str = "llff"
+    testskip: int = 8
+    shape: str = "greek"
+    white_bkgd: bool = False
+    half_res: bool = False
+    factor: int = 8
+    no_ndc: bool = False
+    lindisp: bool = False
+    spherify: bool = False
+    llffhold: int = 8
+
+    # logging intervals
+    i_print: int = 100
+    i_img: int = 500
+    i_weights: int = 10000
+    i_testset: int = 50000
+    i_video: int = 50000
+
+    # debug / reproducibility
+    debug: bool = False
+    seed: int = 3407
+    should_seed: bool = False
+
+    # training extent / depth supervision
+    N_iters: int = 200000
+    alpha_model_path: Optional[str] = None
+    no_coarse: bool = False
+    train_scene: Optional[List[int]] = None
+    test_scene: Optional[List[int]] = None
+    colmap_depth: bool = False
+    depth_loss: bool = False
+    depth_lambda: float = 0.1
+    sigma_loss: bool = False
+    sigma_lambda: float = 0.1
+    weighted_loss: bool = False
+    relative_loss: bool = False
+    depth_with_rgb: bool = False
+    normalize_depth: bool = False
+    depth_rays_prop: float = 0.5
+
+    # feature (content) loss
+    feature_loss: bool = False
+    feature_start_iteration: int = 1000
+    feature_loss_every_n: int = 15
+    feature_lambda: float = 0.1
+    nH: int = 32
+    nW: int = 32
+    gradH: int = 16
+    gradW: int = 16
+    feature_loss_type: str = "vgg"
+    lpips_spatial: bool = False
+    lpips_backbone: str = "alex"
+    vgg_layers: Optional[List[str]] = None
+    vgg_layer_weights: List[float] = dataclasses.field(default_factory=lambda: [1.0, 1.0])
+    vgg_loss_type: str = "l2"
+
+    # GAN loss
+    gan_loss: bool = False
+    gan_lambda: float = 0.1
+    gan_start_iteration: int = 500
+    gan_disc_lrate: float = 5e-4
+    gan_noise_std: float = 0.1
+
+    # semantic loss
+    semantic_loss: bool = False
+    semantic_lambda: float = 0.1
+    semantic_num_classes: Optional[int] = None  # filled by the loader (run_nerf.py:917)
+
+    # depth smoothness loss
+    depth_inverse_loss: bool = False
+    depth_inverse_lambda: float = 0.1
+    depth_inverse_loss_every_n: int = 15
+
+    # --- TPU-native additions (no reference counterpart) ---
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-speed training
+    mesh_shape: Optional[List[int]] = None  # e.g. [8] -> 1-D ray-DP mesh
+    log_every_host: int = 100
+    use_pallas_sampling: bool = False
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(TrainConfig) if f.type in ("bool", bool)
+}
+_LIST_INT = {"train_scene", "test_scene", "mesh_shape"}
+_LIST_FLOAT = {"vgg_layer_weights"}
+_LIST_STR = {"vgg_layers"}
+
+
+def _parse_scalar(name: str, raw: str):
+    raw = raw.strip()
+    if name in _BOOL_FIELDS:
+        return raw.lower() in ("true", "1", "yes")
+    if name in _LIST_INT or name in _LIST_FLOAT or name in _LIST_STR:
+        items = [s.strip() for s in raw.strip("[]").split(",") if s.strip()]
+        if name in _LIST_INT:
+            return [int(s) for s in items]
+        if name in _LIST_FLOAT:
+            return [float(s) for s in items]
+        return items
+    ftypes = {f.name: f.type for f in dataclasses.fields(TrainConfig)}
+    t = ftypes.get(name)
+    if t in ("int", int):
+        return int(float(raw))
+    if t in ("float", float):
+        return float(raw)
+    if raw == "None":
+        return None
+    # Optional[int]-style fields and strings
+    if t in ("Optional[str]", "str", str):
+        return raw
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+
+def parse_config_file(path: str) -> dict:
+    """Parse the reference's ``key = value`` config format."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, value = line.split("=", 1)
+            key = key.strip()
+            if not hasattr(TrainConfig, "__dataclass_fields__") or key not in TrainConfig.__dataclass_fields__:
+                raise KeyError(f"unknown config key {key!r} in {path}")
+            out[key] = _parse_scalar(key, value)
+    return out
+
+
+def parse_args(argv: Optional[List[str]] = None) -> TrainConfig:
+    """CLI entry: ``--config file.txt`` plus per-flag overrides."""
+    parser = argparse.ArgumentParser("depth-lidar-nerf-tpu trainer")
+    parser.add_argument("--config", type=str, default=None)
+    for f in dataclasses.fields(TrainConfig):
+        if f.name == "config":
+            continue
+        flag = f"--{f.name}"
+        if f.name in _BOOL_FIELDS:
+            parser.add_argument(flag, nargs="?", const="True", default=None, type=str)
+        elif f.name in _LIST_INT | _LIST_FLOAT | _LIST_STR:
+            parser.add_argument(flag, nargs="*", default=None, type=str)
+        else:
+            parser.add_argument(flag, default=None, type=str)
+    ns = parser.parse_args(argv)
+
+    values: dict = {}
+    if ns.config:
+        values.update(parse_config_file(ns.config))
+        values["config"] = ns.config
+    for f in dataclasses.fields(TrainConfig):
+        raw = getattr(ns, f.name, None)
+        if raw is None or f.name == "config":
+            continue
+        if isinstance(raw, list):
+            raw = ",".join(raw)
+        values[f.name] = _parse_scalar(f.name, raw)
+    return TrainConfig(**values)
+
+
+def render_config_from(cfg: TrainConfig, num_semantic_classes: int,
+                       near: float, far: float):
+    """Derive the static RenderConfig (create_nerf/render_kwargs assembly,
+    run_nerf.py:481-507)."""
+    from depth_lidar_nerf_tpu.render import RenderConfig
+
+    use_ndc = cfg.dataset_type == "llff" and not cfg.no_ndc
+    return RenderConfig(
+        N_samples=cfg.N_samples,
+        N_importance=cfg.N_importance,
+        perturb=cfg.perturb > 0,
+        lindisp=cfg.lindisp if not use_ndc else False,
+        raw_noise_std=cfg.raw_noise_std,
+        white_bkgd=cfg.white_bkgd,
+        use_viewdirs=cfg.use_viewdirs,
+        multires=cfg.multires if cfg.i_embed != -1 else 0,
+        multires_views=cfg.multires_views if cfg.i_embed != -1 else 0,
+        num_semantic_classes=num_semantic_classes,
+        ndc=use_ndc,
+        near=near,
+        far=far,
+    )
+
+
+def dump_args(cfg: TrainConfig) -> str:
+    """args.txt content (run_nerf.py:1001-1005 parity)."""
+    lines = []
+    for f in sorted(dataclasses.fields(TrainConfig), key=lambda f: f.name):
+        lines.append(f"{f.name} = {getattr(cfg, f.name)}")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,302 @@
+"""Training driver: the equivalent of the reference's ``train()``
+(``run_nerf.py:885-2025``), re-architected for TPU.
+
+Host responsibilities per step are minimal: pick the jitted step variant for
+this iteration's loss schedule, and (on patch iterations) draw the crop /
+permutation randomness. Everything else — batch gather, render, all losses,
+both optimizers — runs on device in one program. Metrics are fetched only
+every ``i_print`` iters so the device never stalls on the host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from depth_lidar_nerf_tpu.data import (
+    load_lidar_depth,
+    load_llff_data,
+    load_semantic_data,
+)
+from depth_lidar_nerf_tpu.evaluation.metrics import psnr as psnr_np
+from depth_lidar_nerf_tpu.evaluation.metrics import ssim_np
+from depth_lidar_nerf_tpu.render import render_image
+from depth_lidar_nerf_tpu.train import losses
+from depth_lidar_nerf_tpu.train.checkpoint import make_manager, restore_latest, save_state
+from depth_lidar_nerf_tpu.train.config import TrainConfig, dump_args, render_config_from
+from depth_lidar_nerf_tpu.train.state import (
+    Models,
+    build_models,
+    init_train_state,
+    init_vgg_params,
+)
+from depth_lidar_nerf_tpu.train.step import PatchBatch, build_step_fns
+from depth_lidar_nerf_tpu.train.tables import build_depth_table, build_rgb_table
+
+
+class Scene:
+    """Loaded dataset bundle."""
+
+    def __init__(self, images, poses, bds, render_poses, hwf, i_train, i_test,
+                 depth_gts=None, segmentation=None, num_semantic_classes=0,
+                 near=0.0, far=1.0):
+        self.images = images
+        self.poses = poses
+        self.bds = bds
+        self.render_poses = render_poses
+        self.hwf = hwf
+        self.i_train = i_train
+        self.i_test = i_test
+        self.depth_gts = depth_gts
+        self.segmentation = segmentation
+        self.num_semantic_classes = num_semantic_classes
+        self.near = near
+        self.far = far
+
+
+def load_scene(cfg: TrainConfig) -> Scene:
+    """Dataset dispatch + train/test split (run_nerf.py:905-982)."""
+    if cfg.dataset_type == "llff":
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            cfg.datadir, cfg.factor, recenter=True, bd_factor=0.75,
+            spherify=cfg.spherify,
+        )
+        hwf = poses[0, :3, -1]
+        H, W = int(hwf[0]), int(hwf[1])
+
+        depth_gts = None
+        if cfg.colmap_depth:
+            depth_gts = load_lidar_depth(
+                cfg.datadir, factor=cfg.factor, bd_factor=0.75,
+                ndc_depth=not cfg.no_ndc,
+            )
+        segmentation = None
+        num_sem = 0
+        if cfg.semantic_loss:
+            segmentation, num_sem = load_semantic_data(cfg.datadir, H=H, W=W)
+
+        i_test = [i_test]
+        if cfg.llffhold > 0:
+            i_test = list(np.arange(images.shape[0])[:: cfg.llffhold])
+        if cfg.test_scene is not None:
+            i_test = list(cfg.test_scene)
+        if i_test and i_test[0] < 0:
+            i_test = []
+        if cfg.train_scene is None:
+            i_train = np.array(
+                [i for i in range(images.shape[0]) if i not in i_test])
+        else:
+            i_train = np.array([i for i in cfg.train_scene if i not in i_test])
+
+        if cfg.no_ndc:
+            near, far = float(bds.min() * 0.9), float(bds.max() * 1.0)
+        else:
+            near, far = 0.0, 1.0
+
+        return Scene(images, poses[:, :3, :4], bds, render_poses,
+                     (H, W, float(hwf[2])), i_train, np.array(i_test, int),
+                     depth_gts, segmentation, num_sem, near, far)
+
+    if cfg.dataset_type == "dtu":
+        from depth_lidar_nerf_tpu.data.dtu import load_dtu_data
+
+        images, poses, hwf = load_dtu_data(cfg.datadir)
+        i_test = list(cfg.test_scene) if cfg.test_scene is not None else []
+        if cfg.train_scene is None:
+            i_train = np.array(
+                [i for i in range(images.shape[0]) if i not in i_test])
+        else:
+            i_train = np.array([i for i in cfg.train_scene if i not in i_test])
+        return Scene(images, poses[:, :3, :4], None, poses, tuple(hwf), i_train,
+                     np.array(i_test, int), near=0.1, far=5.0)
+
+    raise ValueError(f"unknown dataset_type {cfg.dataset_type!r}")
+
+
+def _make_patch_batch(cfg, scene, host_rng) -> PatchBatch:
+    """Host-side randomness for a patch iteration (run_nerf.py:1557-1568)."""
+    H, W, _ = scene.hwf
+    if cfg.nH > H or cfg.nW > W:
+        raise ValueError(
+            f"patch {cfg.nH}x{cfg.nW} larger than image {H}x{W}")
+    img_i = int(host_rng.choice(scene.i_train))
+    start_h = int(host_rng.integers(0, H - cfg.nH + 1))
+    start_w = int(host_rng.integers(0, W - cfg.nW + 1))
+    perm = host_rng.permutation(cfg.nH * cfg.nW).astype(np.int32)
+    gt = scene.images[img_i][start_h:start_h + cfg.nH, start_w:start_w + cfg.nW]
+    return PatchBatch(
+        c2w=jnp.asarray(scene.poses[img_i], jnp.float32),
+        gt_patch=jnp.asarray(gt, jnp.float32),
+        start_h=jnp.float32(start_h),
+        start_w=jnp.float32(start_w),
+        perm=jnp.asarray(perm),
+    )
+
+
+def _save_image_outputs(out, savedir, idx):
+    import imageio.v2 as imageio
+
+    rgb8 = losses.to8b(np.asarray(out["rgb_map"]))
+    imageio.imwrite(os.path.join(savedir, f"{idx:03d}.png"), rgb8)
+    depth = np.asarray(out["depth_map"])
+    np.savez(os.path.join(savedir, f"{idx:03d}.npz"),
+             rgb=np.asarray(out["rgb_map"]), disp=np.asarray(out["disp_map"]),
+             acc=np.asarray(out["acc_map"]), depth=depth)
+    from depth_lidar_nerf_tpu.utils.visualization import depth_to_colormap
+
+    imageio.imwrite(os.path.join(savedir, f"{idx:03d}_depth.png"),
+                    depth_to_colormap(depth))
+
+
+def render_path(models: Models, params, render_poses, hwf, cfg_render,
+                savedir: Optional[str] = None, render_factor: int = 0):
+    """Render a pose list (run_nerf.py:268-359): returns rgbs, disps stacks."""
+    H, W, focal = hwf
+    if render_factor:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
+    rgbs, disps = [], []
+    for i, c2w in enumerate(render_poses):
+        out = render_image(models.coarse, models.fine, params, int(H), int(W),
+                           focal, jnp.asarray(np.asarray(c2w)[:3, :4]), cfg_render)
+        rgbs.append(np.asarray(out["rgb_map"]))
+        disps.append(np.asarray(out["disp_map"]))
+        if savedir is not None:
+            _save_image_outputs(out, savedir, i)
+    return np.stack(rgbs), np.stack(disps)
+
+
+def train(cfg: TrainConfig):
+    scene = load_scene(cfg)
+    H, W, focal = scene.hwf
+    rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near, scene.far)
+
+    expdir = os.path.join(cfg.basedir, cfg.expname)
+    os.makedirs(expdir, exist_ok=True)
+    with open(os.path.join(expdir, "args.txt"), "w") as f:
+        f.write(dump_args(cfg))
+    if cfg.config:
+        with open(os.path.join(expdir, "config.txt"), "w") as f:
+            f.write(open(cfg.config).read())
+
+    rng = jax.random.key(cfg.seed if cfg.should_seed else 0)
+    host_rng = np.random.default_rng(cfg.seed if cfg.should_seed else None)
+
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, rng)
+    vgg_params = init_vgg_params(cfg, models, jax.random.fold_in(rng, 7))
+
+    mgr = make_manager(cfg.basedir, cfg.expname)
+    start = 0
+    if not cfg.no_reload:
+        restored = restore_latest(mgr, state)
+        if restored is not None:
+            state = restored
+            start = int(state.step)
+            print(f"resumed from checkpoint at step {start}")
+
+    # ---------------- render-only short-circuit (run_nerf.py:1030-1114) ----
+    if cfg.render_only:
+        if cfg.render_test:
+            poses = scene.poses[scene.i_test]
+            tag = "test"
+        elif cfg.render_train:
+            poses = scene.poses[scene.i_train]
+            tag = "train"
+        else:
+            poses = np.asarray(scene.render_poses)[:, :3, :4]
+            tag = "path"
+        savedir = os.path.join(expdir, f"renderonly_{tag}_{start:06d}")
+        os.makedirs(savedir, exist_ok=True)
+        rgbs, disps = render_path(models, state.params, poses, scene.hwf,
+                                  rcfg, savedir, cfg.render_factor)
+        _write_videos(savedir, "", rgbs, disps)
+        print("Done rendering", savedir)
+        return state
+
+    # ------------------------------ tables --------------------------------
+    rgb_table = build_rgb_table(scene.images, scene.poses, scene.i_train,
+                                H, W, focal, rcfg, scene.segmentation)
+    depth_table = None
+    if cfg.colmap_depth:
+        depth_table = build_depth_table(scene.depth_gts, scene.poses,
+                                        scene.i_train, H, W, focal, rcfg)
+
+    base_step, select = build_step_fns(cfg, rcfg, models, scene.hwf)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join("runs", cfg.expname))
+    except Exception:
+        pass
+
+    print(f"TRAIN views: {list(scene.i_train)}  TEST views: {list(scene.i_test)}")
+    t0 = time.time()
+    rays_done = 0
+    for i in range(start + 1, cfg.N_iters + 1):
+        step_fn, needs_patch = select(i)
+        patch = _make_patch_batch(cfg, scene, host_rng) if needs_patch else None
+        state, metrics = step_fn(state, rgb_table, depth_table, patch,
+                                 vgg_params, jax.random.fold_in(rng, i))
+        rays_done += cfg.N_rand
+
+        if i % cfg.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            rps = rays_done / dt if dt > 0 else 0.0
+            print(f"[TRAIN] iter {i} loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
+                  f"rays/s {rps:,.0f}")
+            if writer:
+                for k, v in m.items():
+                    writer.add_scalar(f"Train/{k}", v, i)
+                writer.add_scalar("Train/rays_per_sec", rps, i)
+            t0 = time.time()
+            rays_done = 0
+
+        if i % cfg.i_weights == 0:
+            save_state(mgr, state, i)
+
+        if cfg.i_testset > 0 and i % cfg.i_testset == 0 and len(scene.i_test) > 0:
+            testdir = os.path.join(expdir, f"testset_{i:06d}")
+            os.makedirs(testdir, exist_ok=True)
+            rgbs, _ = render_path(models, state.params,
+                                  scene.poses[scene.i_test], scene.hwf, rcfg,
+                                  testdir)
+            gts = scene.images[scene.i_test]
+            t_psnr = float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
+            t_ssim = float(np.mean([ssim_np(r, g) for r, g in zip(rgbs, gts)]))
+            print(f"[TEST] iter {i} psnr {t_psnr:.2f} ssim {t_ssim:.4f}")
+            if writer:
+                writer.add_scalar("Test/psnr", t_psnr, i)
+                writer.add_scalar("Test/ssim", t_ssim, i)
+
+        if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
+            rgbs, disps = render_path(models, state.params, scene.render_poses,
+                                      scene.hwf, rcfg)
+            _write_videos(expdir, f"{cfg.expname}_spiral_{i:06d}_", rgbs, disps)
+
+    save_state(mgr, state, cfg.N_iters)
+    mgr.wait_until_finished()
+    return state
+
+
+def _write_videos(outdir, prefix, rgbs, disps):
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(os.path.join(outdir, prefix + "rgb.mp4"),
+                         losses.to8b(rgbs), fps=30, quality=8)
+        disps = np.nan_to_num(disps)
+        imageio.mimwrite(
+            os.path.join(outdir, prefix + "disp.mp4"),
+            losses.to8b(disps / (np.percentile(disps, 95) + 1e-8)), fps=30,
+            quality=8)
+    except Exception as e:  # video codecs may be absent; PNGs already saved
+        print("video write skipped:", e)

@@ -1,0 +1,131 @@
+"""Model + optimizer factory and the train state pytree.
+
+Equivalent of ``create_nerf`` (``run_nerf.py:389-517``): builds the coarse and
+fine NeRF MLPs, the Adam optimizer with the reference's continuous exponential
+LR decay ``lrate * 0.1^(step / (lrate_decay * 1000))`` (``run_nerf.py:1843-1847``
+— here a proper optax schedule instead of mutating param groups), and
+optionally the GAN discriminator with its own Adam
+(``run_nerf.py:1253-1264``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from depth_lidar_nerf_tpu.models import ESRDiscriminator, NeRFMLP, VGG19Features
+from depth_lidar_nerf_tpu.ops.embedding import embedding_dim
+from depth_lidar_nerf_tpu.render.renderer import RenderConfig
+from depth_lidar_nerf_tpu.train.config import TrainConfig
+
+
+class Models(NamedTuple):
+    """Static module bundle (hashable; safe to close over in jitted factories)."""
+
+    coarse: NeRFMLP
+    fine: Optional[NeRFMLP]
+    discriminator: Optional[ESRDiscriminator]
+    vgg: Optional[VGG19Features]
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray  # int32 scalar
+    params: Any  # {"coarse": ..., "fine": ...}
+    opt_state: Any
+    disc_params: Any = None
+    disc_opt_state: Any = None
+
+
+def lr_schedule(cfg: TrainConfig):
+    decay_steps = cfg.lrate_decay * 1000
+    return lambda step: cfg.lrate * (0.1 ** (step / decay_steps))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=lr_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_disc_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=cfg.gan_disc_lrate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
+    pts_dim = embedding_dim(3, rcfg.multires)
+    views_dim = embedding_dim(3, rcfg.multires_views) if cfg.use_viewdirs else 0
+    num_sem = rcfg.num_semantic_classes
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    output_ch = 5 if cfg.N_importance > 0 else 4  # run_nerf.py:398
+
+    coarse = NeRFMLP(
+        depth=cfg.netdepth, width=cfg.netwidth, in_channels=pts_dim,
+        in_channels_views=views_dim, use_viewdirs=cfg.use_viewdirs,
+        num_semantic_classes=num_sem, output_ch=output_ch, dtype=dtype,
+    )
+    fine = None
+    if cfg.N_importance > 0:
+        fine = NeRFMLP(
+            depth=cfg.netdepth_fine, width=cfg.netwidth_fine, in_channels=pts_dim,
+            in_channels_views=views_dim, use_viewdirs=cfg.use_viewdirs,
+            num_semantic_classes=num_sem, output_ch=output_ch, dtype=dtype,
+        )
+    disc = ESRDiscriminator() if cfg.gan_loss else None
+    vgg = None
+    if cfg.feature_loss and cfg.feature_loss_type == "vgg":
+        vgg = VGG19Features(taps=tuple(cfg.vgg_layers or ("conv1_2", "conv2_2")))
+    return Models(coarse, fine, disc, vgg)
+
+
+def init_train_state(cfg: TrainConfig, rcfg: RenderConfig, models: Models,
+                     rng: jax.Array) -> TrainState:
+    pts_dim = embedding_dim(3, rcfg.multires)
+    views_dim = embedding_dim(3, rcfg.multires_views) if cfg.use_viewdirs else 0
+    pe = jnp.zeros((1, pts_dim), jnp.float32)
+    ve = jnp.zeros((1, views_dim), jnp.float32) if cfg.use_viewdirs else None
+
+    k_c, k_f, k_d = jax.random.split(rng, 3)
+    params = {"coarse": models.coarse.init(k_c, pe, ve)}
+    params["fine"] = models.fine.init(k_f, pe, ve) if models.fine is not None else None
+
+    opt_state = make_optimizer(cfg).init(params)
+
+    disc_params = disc_opt_state = None
+    if models.discriminator is not None:
+        disc_params = models.discriminator.init(
+            k_d, jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32)
+        )
+        disc_opt_state = make_disc_optimizer(cfg).init(disc_params)
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        disc_params=disc_params,
+        disc_opt_state=disc_opt_state,
+    )
+
+
+def init_vgg_params(cfg: TrainConfig, models: Models, rng: jax.Array):
+    """Frozen VGG parameters (not part of the optimized state).
+
+    Loads a converted torchvision state_dict from ``<datadir>/vgg19.pth`` or
+    ``$VGG19_TORCH_WEIGHTS`` when present; otherwise fixed-seed init.
+    """
+    if models.vgg is None:
+        return None
+    params = models.vgg.init(rng, jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32))
+    import os
+
+    for cand in (os.environ.get("VGG19_TORCH_WEIGHTS"),
+                 os.path.join(cfg.datadir, "vgg19.pth")):
+        if cand and os.path.exists(cand):
+            import torch
+
+            from depth_lidar_nerf_tpu.models.vgg import load_torch_vgg19
+
+            sd = torch.load(cand, map_location="cpu")
+            return load_torch_vgg19(params, sd)
+    return params

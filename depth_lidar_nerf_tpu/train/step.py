@@ -1,0 +1,362 @@
+"""Jitted train steps.
+
+The reference's hot loop (``run_nerf.py:1320-1847``) — batch fetch, render,
+seven loss terms, backward, Adam step, GAN discriminator step — compiles here
+into a single XLA program per loss-schedule variant. The every-N patch losses
+(feature/GAN/smoothness, ``run_nerf.py:1552-1753``) change the computation
+graph, so the driver selects between prebuilt step variants host-side instead
+of tracing data-dependent Python branches (SURVEY.md §7 "hard parts").
+
+Grad/no-grad patch trick (``run_nerf.py:1600-1644``): the reference renders a
+small random subset of patch rays with gradients and the rest under
+``no_grad``, then scatters both into one image. Here the no-grad subset is
+rendered on ``stop_gradient`` parameters *outside* the differentiated closure
+(so no backward FLOPs), and both subsets scatter into the patch with a static
+permutation index — same math, one fused program, no Python-side tensor
+surgery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from depth_lidar_nerf_tpu.models.vgg import vgg_normalize
+from depth_lidar_nerf_tpu.ops.rays import patch_ray_dirs
+from depth_lidar_nerf_tpu.ops.sampling import stratified_z_vals
+from depth_lidar_nerf_tpu.render.renderer import (
+    RenderConfig,
+    make_rays,
+    query_network,
+    render_rays,
+    render_rays_tiled,
+)
+from depth_lidar_nerf_tpu.train import losses
+from depth_lidar_nerf_tpu.train.config import TrainConfig
+from depth_lidar_nerf_tpu.train.state import (
+    Models,
+    TrainState,
+    make_disc_optimizer,
+    make_optimizer,
+)
+from depth_lidar_nerf_tpu.parallel.mesh import ray_sharder
+from depth_lidar_nerf_tpu.train.tables import DepthRayTable, RgbRayTable, gather_rays
+
+
+class PatchBatch(NamedTuple):
+    """Per-step inputs for the patch-loss branch (crop + grad-subset split)."""
+
+    c2w: jnp.ndarray  # [3, 4] pose of the sampled train image
+    gt_patch: jnp.ndarray  # [nH, nW, 3]
+    start_h: jnp.ndarray  # scalar f32 crop origin (traced: no recompiles)
+    start_w: jnp.ndarray  # scalar f32
+    perm: jnp.ndarray  # [nH * nW] int32; first gradH*gradW entries get grads
+
+
+class StepFns(NamedTuple):
+    base: Any  # (state, rgb_table, depth_table, rng) -> (state, metrics)
+    patch: Any  # + (patch, vgg_params); None if no patch losses configured
+
+
+def _sigma_loss_term(cfg, rcfg, models, params, rays, target_depth, rng):
+    """DS-NeRF sigma loss: sample [near, gt_depth], query the fine field
+    (loss.py:15-44)."""
+    k_strat, k_noise = jax.random.split(rng)
+    z = stratified_z_vals(
+        rays.near, target_depth[:, None], cfg.N_samples,
+        perturb=rcfg.perturb, rng=k_strat,
+    )
+    pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z[..., :, None]
+    net = models.fine if models.fine is not None else models.coarse
+    net_params = params["fine"] if models.fine is not None else params["coarse"]
+    raw = query_network(net, net_params, pts, rays.viewdirs, rcfg)
+    sigma_raw = raw[..., 3].astype(jnp.float32)
+    if rcfg.raw_noise_std > 0:
+        sigma_raw = sigma_raw + jax.random.normal(k_noise, sigma_raw.shape) * rcfg.raw_noise_std
+    sigma = jax.nn.relu(sigma_raw)
+    # Stable evaluation of -exp(s_N)/(sum exp(s) + 1): shift by the row max.
+    m = jnp.max(sigma, axis=1, keepdims=True)
+    num = jnp.exp(sigma[:, -1] - m[:, 0])
+    den = jnp.sum(jnp.exp(sigma - m), axis=1) + jnp.exp(-m[:, 0])
+    return jnp.mean(-num / den)
+
+
+def _assemble_patch(values_grad, values_ng, perm, n_grad, nH, nW):
+    """Scatter grad + no-grad ray results back into patch scanline order.
+
+    values_*: [B, n, C]. Returns [B, nH, nW, C].
+    """
+    B, _, C = values_grad.shape
+    full = jnp.zeros((B, nH * nW, C), values_grad.dtype)
+    full = full.at[:, perm[:n_grad]].set(values_grad)
+    full = full.at[:, perm[n_grad:]].set(values_ng)
+    return full.reshape(B, nH, nW, C)
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    rcfg: RenderConfig,
+    models: Models,
+    hwf,
+    *,
+    feature_on: bool = False,
+    gan_on: bool = False,
+    smooth_on: bool = False,
+    mesh=None,
+):
+    """Build one jitted step for a given loss-schedule variant.
+
+    With ``mesh``, the gathered ray batch is sharding-constrained over the
+    mesh's ray axis so GSPMD partitions render + backward data-parallel and
+    emits the gradient psum over ICI (see ``parallel/mesh.py``).
+    """
+    shard_rays = ray_sharder(mesh)
+    H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+    n_depth = int(cfg.N_rand * cfg.depth_rays_prop) if cfg.colmap_depth else 0
+    n_rgb = cfg.N_rand - n_depth
+    n_grad = cfg.gradH * cfg.gradW
+    n_patch = cfg.nH * cfg.nW
+    patch_mode = feature_on or gan_on or smooth_on
+    optimizer = make_optimizer(cfg)
+    disc_opt = make_disc_optimizer(cfg)
+    coarse_on = cfg.N_importance > 0 and not cfg.no_coarse
+    patch_B = 2 if cfg.N_importance > 0 else 1  # fine + coarse patches
+
+    def loss_fn(params, state_step, rgb_table, depth_table, patch, ng_patch,
+                vgg_params, disc_params, rng):
+        keys = jax.random.split(rng, 8)
+        metrics = {}
+
+        # ---- ray batch: uniform gather from the device-resident tables ----
+        idx = jax.random.randint(keys[0], (n_rgb,), 0, rgb_table.origins.shape[0])
+        rays = gather_rays(rgb_table, idx, rcfg)
+        target_s = rgb_table.rgb[idx]
+        target_sem = rgb_table.semantic[idx] if cfg.semantic_loss else None
+
+        if n_depth > 0:
+            idx_d = jax.random.randint(
+                keys[1], (n_depth,), 0, depth_table.origins.shape[0]
+            )
+            rays_depth = gather_rays(depth_table, idx_d, rcfg)
+            target_depth = depth_table.depth[idx_d]
+            ray_weights = depth_table.weight[idx_d]
+            rays_all = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), rays, rays_depth
+            )
+        else:
+            rays_all = rays
+        rays_all = shard_rays(rays_all)
+
+        out = render_rays(models.coarse, models.fine, params, rays_all, rcfg,
+                          rng=keys[2])
+
+        rgb = out["rgb_map"][:n_rgb]
+        img_loss = losses.img2mse(rgb, target_s)
+        metrics["img_loss"] = img_loss
+        metrics["psnr"] = losses.mse2psnr(img_loss)
+        loss = img_loss
+
+        imp = losses.depth_importance(state_step, cfg.lrate_decay)
+        metrics["depth_importance"] = imp
+
+        if cfg.depth_loss and n_depth > 0:
+            depth_col = out["depth_map"][n_rgb:]
+            d_loss = losses.depth_loss(
+                depth_col, target_depth, ray_weights,
+                weighted=cfg.weighted_loss, normalize=cfg.normalize_depth,
+                relative=cfg.relative_loss,
+            )
+            metrics["depth_loss"] = d_loss
+            loss = loss + cfg.depth_lambda * imp * d_loss
+
+        if cfg.sigma_loss and n_depth > 0:
+            s_loss = _sigma_loss_term(cfg, rcfg, models, params, rays_depth,
+                                      target_depth, keys[3])
+            metrics["sigma_loss"] = s_loss
+            loss = loss + cfg.sigma_lambda * s_loss
+
+        if cfg.semantic_loss:
+            sem_loss = losses.semantic_cross_entropy(
+                out["sem_preds"][:n_rgb], target_sem
+            )
+            metrics["semantic_loss"] = sem_loss
+            sem_loss0 = 0.0
+            if "sem_preds0" in out:
+                sem_loss0 = losses.semantic_cross_entropy(
+                    out["sem_preds0"][:n_rgb], target_sem
+                )
+                metrics["semantic_loss0"] = sem_loss0
+            loss = loss + cfg.semantic_lambda * (sem_loss + sem_loss0)
+
+        if coarse_on:
+            img_loss0 = losses.img2mse(out["rgb0"][:n_rgb], target_s)
+            metrics["img_loss0"] = img_loss0
+            metrics["psnr0"] = losses.mse2psnr(img_loss0)
+            loss = loss + img_loss0
+
+        # ------------------------- patch losses -------------------------
+        rendered_patch = None
+        if patch_mode:
+            ro, rd = patch_ray_dirs(H, W, focal, patch.c2w, patch.start_h,
+                                    patch.start_w, cfg.nH, cfg.nW)
+            prays = make_rays(ro, rd, rcfg, H, W, focal)
+            grad_rays = shard_rays(
+                jax.tree.map(lambda x: x[patch.perm[:n_grad]], prays))
+            g_out = render_rays(models.coarse, models.fine, params, grad_rays,
+                                rcfg, rng=keys[4])
+
+            def stack_fc(o, key, key0):
+                if cfg.N_importance > 0:
+                    return jnp.stack([o[key], o[key0]], axis=0)
+                return o[key][None]
+
+            rgb_g = jnp.clip(stack_fc(g_out, "rgb_map", "rgb0"), 0.0, 1.0)
+            rgb_ng = jnp.clip(stack_fc(ng_patch, "rgb_map", "rgb0"), 0.0, 1.0)
+            acc_rgb = _assemble_patch(rgb_g, rgb_ng, patch.perm, n_grad,
+                                      cfg.nH, cfg.nW)  # [B, nH, nW, 3]
+            rendered_patch = acc_rgb
+
+            if smooth_on:
+                d_g = stack_fc(g_out, "depth_map", "depth_map0")[..., None]
+                d_ng = stack_fc(ng_patch, "depth_map", "depth_map0")[..., None]
+                acc_depth = _assemble_patch(d_g, d_ng, patch.perm, n_grad,
+                                            cfg.nH, cfg.nW)
+                inv_loss = losses.inverse_depth_smoothness_loss(acc_depth, acc_rgb)
+                metrics["inv_loss"] = inv_loss
+                loss = loss + inv_loss * cfg.depth_inverse_lambda * imp
+
+            if feature_on:
+                layer_names = tuple(cfg.vgg_layers or ())
+                weights = cfg.vgg_layer_weights
+                gt = vgg_normalize(patch.gt_patch[None])
+                feats_gt = jax.lax.stop_gradient(
+                    models.vgg.apply(vgg_params, gt)
+                )
+                feats_r = models.vgg.apply(vgg_params, vgg_normalize(acc_rgb))
+                f_fine = {k: v[0:1] for k, v in feats_r.items()}
+                feature_loss = losses.vgg_feature_distance(
+                    f_fine, feats_gt, layer_names, weights, cfg.vgg_loss_type
+                )
+                if cfg.N_importance > 0:
+                    f_coarse = {k: v[1:2] for k, v in feats_r.items()}
+                    fl0 = losses.vgg_feature_distance(
+                        f_coarse, feats_gt, layer_names, weights, cfg.vgg_loss_type
+                    )
+                    metrics["feature_loss0"] = fl0
+                    feature_loss = feature_loss + fl0
+                metrics["feature_loss"] = feature_loss
+                loss = loss + feature_loss * cfg.feature_lambda
+
+            if gan_on:
+                noise_std = losses.gan_noise_std_at(state_step, cfg.gan_noise_std)
+                dp = jax.lax.stop_gradient(disc_params)
+                noise = jax.random.normal(keys[5], (1, cfg.nH, cfg.nW, 3)) * noise_std
+                pred = models.discriminator.apply(dp, acc_rgb[0:1] + noise)
+                gan_loss = losses.gan_mse(pred, 1.0)
+                if cfg.N_importance > 0:
+                    noise0 = jax.random.normal(keys[6], (1, cfg.nH, cfg.nW, 3)) * noise_std
+                    pred0 = models.discriminator.apply(dp, acc_rgb[1:2] + noise0)
+                    gan_loss = gan_loss + losses.gan_mse(pred0, 1.0)
+                metrics["gan_loss"] = gan_loss
+                loss = loss + gan_loss * cfg.gan_lambda
+
+        metrics["loss"] = loss
+        return loss, (metrics, rendered_patch)
+
+    def ng_render(params, patch, rng):
+        """No-grad patch subset on stop_gradient params, HBM-tiled."""
+        ro, rd = patch_ray_dirs(H, W, focal, patch.c2w, patch.start_h,
+                                patch.start_w, cfg.nH, cfg.nW)
+        prays = make_rays(ro, rd, rcfg, H, W, focal)
+        ng_rays = shard_rays(jax.tree.map(lambda x: x[patch.perm[n_grad:]], prays))
+        p = jax.lax.stop_gradient(params)
+        return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
+                                 rng=rng, tile=4096)
+
+    def disc_step(state, gt_patch, fake_patches, rng):
+        """Discriminator update on detached patches (run_nerf.py:1779-1816)."""
+        noise_std = losses.gan_noise_std_at(state.step, cfg.gan_noise_std)
+        k_r, k_f, k_f0 = jax.random.split(rng, 3)
+        fake = jax.lax.stop_gradient(fake_patches)
+
+        def d_loss_fn(dp):
+            noise_real = jax.random.normal(k_r, (1, cfg.nH, cfg.nW, 3)) * noise_std
+            noise_fake = jax.random.normal(k_f, (1, cfg.nH, cfg.nW, 3)) * noise_std
+            pred_real = models.discriminator.apply(dp, gt_patch[None] + noise_real)
+            pred_fake = models.discriminator.apply(dp, fake[0:1] + noise_fake)
+            loss_real = losses.gan_mse(pred_real, 1.0)
+            loss_fake = losses.gan_mse(pred_fake, 0.0)
+            if cfg.N_importance > 0:
+                noise_f0 = jax.random.normal(k_f0, (1, cfg.nH, cfg.nW, 3)) * noise_std
+                pred_f0 = models.discriminator.apply(dp, fake[1:2] + noise_f0)
+                loss_fake = 0.5 * (loss_fake + losses.gan_mse(pred_f0, 0.0))
+            return loss_fake + loss_real
+
+        ld, g = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        upd, new_dopt = disc_opt.update(g, state.disc_opt_state, state.disc_params)
+        new_dp = optax.apply_updates(state.disc_params, upd)
+        return state.replace(disc_params=new_dp, disc_opt_state=new_dopt), ld
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, rgb_table: RgbRayTable,
+                depth_table: Optional[DepthRayTable],
+                patch: Optional[PatchBatch], vgg_params, rng):
+        k_ng, k_loss, k_disc = jax.random.split(rng, 3)
+        ng_patch = ng_render(state.params, patch, k_ng) if patch_mode else None
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, rendered_patch)), grads = grad_fn(
+            state.params, state.step, rgb_table, depth_table, patch, ng_patch,
+            vgg_params, state.disc_params, k_loss,
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(params=new_params, opt_state=new_opt,
+                              step=state.step + 1)
+
+        if gan_on:
+            state, loss_dis = disc_step(state, patch.gt_patch, rendered_patch,
+                                        k_disc)
+            metrics["loss_dis"] = loss_dis
+        return state, metrics
+
+    return step_fn
+
+
+def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
+                   mesh=None):
+    """Base step + (if configured) the patch-loss step variants.
+
+    Variant selection per iteration i (run_nerf.py:1552-1554):
+    feature on iff ``feature_loss and i >= start and i % every_n == 0``;
+    gan on iff ``gan_loss and i >= gan_start``; smooth on iff
+    ``depth_inverse_loss and i % every_n == 0``.
+    """
+    base = make_train_step(cfg, rcfg, models, hwf, mesh=mesh)
+    variants = {}
+
+    def get_variant(feature_on, gan_on, smooth_on):
+        key = (feature_on, gan_on, smooth_on)
+        if not any(key):
+            return base
+        if key not in variants:
+            variants[key] = make_train_step(
+                cfg, rcfg, models, hwf, mesh=mesh,
+                feature_on=feature_on, gan_on=gan_on, smooth_on=smooth_on,
+            )
+        return variants[key]
+
+    def select(i: int):
+        feature_on = bool(cfg.feature_loss and i >= cfg.feature_start_iteration
+                          and i % cfg.feature_loss_every_n == 0)
+        gan_on = bool(cfg.gan_loss and i >= cfg.gan_start_iteration)
+        smooth_on = bool(cfg.depth_inverse_loss
+                         and i % cfg.depth_inverse_loss_every_n == 0)
+        return get_variant(feature_on, gan_on, smooth_on), (feature_on or gan_on
+                                                            or smooth_on)
+
+    return base, select

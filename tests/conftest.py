@@ -2,15 +2,18 @@
 
 This is the "fake backend" strategy (SURVEY.md §4): every kernel and the full
 sharded train step run on an 8-device CPU mesh, emulating the TPU mesh without
-hardware. Must run before anything imports jax.
+hardware.
+
+NOTE: this environment's sitecustomize force-registers the TPU ('axon')
+platform and overrides JAX_PLATFORMS/XLA_FLAGS, so the env-var route does not
+work; the reliable switch is jax.config.update BEFORE any backend is
+initialized.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,74 @@
+"""Multi-device (8 virtual CPU) sharded train-step tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from depth_lidar_nerf_tpu.parallel.mesh import make_mesh, replicate
+from depth_lidar_nerf_tpu.train.config import TrainConfig, render_config_from
+from depth_lidar_nerf_tpu.train.state import build_models, init_train_state
+from depth_lidar_nerf_tpu.train.step import make_train_step
+from depth_lidar_nerf_tpu.train.tables import build_rgb_table
+
+
+def _setup():
+    cfg = TrainConfig(N_rand=64, N_samples=8, N_importance=8, netdepth=2,
+                      netwidth=32, netdepth_fine=2, netwidth_fine=32,
+                      use_viewdirs=True, no_ndc=True, multires=4,
+                      multires_views=2)
+    rcfg = render_config_from(cfg, 0, near=2.0, far=6.0)
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+    H, W, focal = 12, 12, 10.0
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4)[:3].astype(np.float32)] * 2)
+    rgb_t = build_rgb_table(images, poses, np.array([0, 1]), H, W, focal, rcfg)
+    return cfg, rcfg, models, state, rgb_t, (H, W, focal)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_single_device():
+    cfg, rcfg, models, state, rgb_t, hwf = _setup()
+
+    step1 = make_train_step(cfg, rcfg, models, hwf)
+    s1, m1 = step1(state, rgb_t, None, None, None, jax.random.key(7))
+
+    mesh = make_mesh([8])
+    cfgm = cfg
+    state2 = init_train_state(cfgm, rcfg, models, jax.random.key(0))
+    with mesh:
+        state2 = replicate(mesh, state2)
+        rgb_tm = replicate(mesh, rgb_t)
+        step8 = make_train_step(cfgm, rcfg, models, hwf, mesh=mesh)
+        s8, m8 = step8(state2, rgb_tm, None, None, None, jax.random.key(7))
+
+    # Same RNG key => identical batch; sharding must not change the math
+    # beyond reduction-order noise.
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_step_runs_multiple_iterations():
+    cfg, rcfg, models, state, rgb_t, hwf = _setup()
+    mesh = make_mesh([8])
+    with mesh:
+        state = replicate(mesh, state)
+        rgb_t = replicate(mesh, rgb_t)
+        step = make_train_step(cfg, rcfg, models, hwf, mesh=mesh)
+        losses = []
+        for i in range(5):
+            state, m = step(state, rgb_t, None, None, None, jax.random.key(i))
+            losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5

@@ -1,0 +1,126 @@
+"""End-to-end training tests on a synthetic LLFF-format scene (CPU backend).
+
+The integration tier of the test pyramid (SURVEY.md §4): the full driver —
+loaders, ray tables, jitted step, losses, checkpointing — on a tiny analytic
+scene, asserting PSNR climbs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from depth_lidar_nerf_tpu.data.synthetic import make_scene
+from depth_lidar_nerf_tpu.train.config import TrainConfig, parse_config_file
+from depth_lidar_nerf_tpu.train.loop import load_scene, train
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene")
+    make_scene(str(d), n_images=3, H=24, W=32, focal=30.0, n_depth_points=120)
+    return str(d)
+
+
+def _tiny_cfg(scene_dir, tmp_path, **kw):
+    base = dict(
+        expname="t", basedir=str(tmp_path), datadir=scene_dir,
+        dataset_type="llff", factor=0, llffhold=0, test_scene=[2],
+        N_rand=96, N_samples=12, N_importance=8, netdepth=2, netwidth=48,
+        netdepth_fine=2, netwidth_fine=48, use_viewdirs=True, no_ndc=True,
+        N_iters=60, i_print=30, i_weights=60, i_testset=0, i_video=0,
+        lrate=5e-3, multires=6, multires_views=2, should_seed=True,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_load_scene_shapes(scene_dir, tmp_path):
+    cfg = _tiny_cfg(scene_dir, tmp_path, colmap_depth=True, semantic_loss=True)
+    scene = load_scene(cfg)
+    assert scene.images.shape == (3, 24, 32, 3)
+    assert scene.poses.shape == (3, 3, 4)
+    assert len(scene.depth_gts) == 3
+    assert scene.segmentation.shape == (3, 24, 32)
+    assert scene.num_semantic_classes == 4
+    assert list(scene.i_test) == [2]
+    assert sorted(scene.i_train) == [0, 1]
+    # depth annotations must lie within [near, far]
+    for d in scene.depth_gts:
+        assert (d["depth"] > scene.near - 1e-5).all()
+        assert (d["depth"] < scene.far + 1e-5).all()
+
+
+def test_train_rgb_only_psnr_climbs(scene_dir, tmp_path, capsys):
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=200, i_print=20, i_weights=200)
+    state = train(cfg)
+    outp = capsys.readouterr().out
+    lines = [l for l in outp.splitlines() if l.startswith("[TRAIN]")]
+    first = float(lines[0].split("psnr")[1].split()[0])
+    last = float(lines[-1].split("psnr")[1].split()[0])
+    assert last > first + 2.0, outp
+    assert last > 18.0, outp
+    assert int(state.step) == 200
+
+
+def test_train_with_depth_and_semantic(scene_dir, tmp_path):
+    cfg = _tiny_cfg(
+        scene_dir, tmp_path, colmap_depth=True, depth_loss=True,
+        depth_lambda=0.05, semantic_loss=True, semantic_lambda=0.01,
+        N_iters=40, i_weights=40,
+    )
+    state = train(cfg)
+    assert int(state.step) == 40
+
+
+def test_checkpoint_resume(scene_dir, tmp_path):
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=30, i_weights=30)
+    train(cfg)
+    cfg2 = cfg.replace(N_iters=45)
+    state = train(cfg2)
+    assert int(state.step) == 45
+    ckpts = os.listdir(os.path.join(str(tmp_path), "t", "checkpoints"))
+    assert any("45" in c for c in ckpts)
+
+
+def test_render_only(scene_dir, tmp_path):
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=10, i_weights=10)
+    train(cfg)
+    cfg2 = cfg.replace(render_only=True, render_test=True)
+    train(cfg2)
+    outdir = os.path.join(str(tmp_path), "t", "renderonly_test_000010")
+    files = os.listdir(outdir)
+    assert "000.png" in files and "000.npz" in files
+
+
+def test_config_file_roundtrip(tmp_path):
+    p = tmp_path / "cfg.txt"
+    p.write_text(
+        "expname = exp1\nN_rand = 1024\nfactor=4\nno_ndc = False\n"
+        "colmap_depth = True\ndepth_lambda = 0.01\n"
+        "vgg_layers = [conv1_2, conv2_2, conv3_4]\n"
+        "vgg_layer_weights = [0.1, 0.1, 1]\n"
+        "train_scene = [0,1,2,3]\nraw_noise_std = 1e0\n"
+    )
+    vals = parse_config_file(str(p))
+    assert vals["expname"] == "exp1"
+    assert vals["N_rand"] == 1024
+    assert vals["no_ndc"] is False
+    assert vals["colmap_depth"] is True
+    assert vals["vgg_layers"] == ["conv1_2", "conv2_2", "conv3_4"]
+    assert vals["vgg_layer_weights"] == [0.1, 0.1, 1.0]
+    assert vals["train_scene"] == [0, 1, 2, 3]
+    assert vals["raw_noise_std"] == 1.0
+
+
+def test_patch_losses_train(scene_dir, tmp_path):
+    cfg = _tiny_cfg(
+        scene_dir, tmp_path, N_iters=12, i_weights=12,
+        feature_loss=True, feature_start_iteration=1, feature_loss_every_n=5,
+        vgg_layers=["conv1_2"], vgg_layer_weights=[1.0], vgg_loss_type="l1",
+        gan_loss=True, gan_start_iteration=6,
+        depth_inverse_loss=True, depth_inverse_loss_every_n=5,
+        nH=12, nW=16, gradH=4, gradW=4,
+    )
+    state = train(cfg)
+    assert int(state.step) == 12
