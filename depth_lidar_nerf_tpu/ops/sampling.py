@@ -97,14 +97,27 @@ def sample_pdf(
             raise ValueError("det=False requires an rng key")
         u = jax.random.uniform(rng, shape, dtype=cdf.dtype)
 
-    inds = searchsorted_right(cdf, u)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather-free CDF inversion. With inds = searchsorted_right(cdf, u),
+    # below = max(0, inds-1) and above = min(B-1, inds), the reference gathers
+    # cdf/bins at below/above (run_nerf_helpers.py:525-533). Because cdf and
+    # bins are both monotone non-decreasing along the bin axis, those gathers
+    # equal masked min/max REDUCTIONS over the bin axis — pure VPU work that
+    # avoids TPU-hostile per-element gathers (take_along_axis here measured
+    # ~25x slower than the whole rest of the op at NeRF sizes):
+    #   x[below] = max_j{ x[j] : cdf[j] <= u }   (j=0 always qualifies: cdf[0]=0)
+    #   x[above] = min_j{ x[j] : cdf[j] >  u }, falling back to x[B-1] when
+    #              u >= all cdf entries (the inds-clamp case).
+    mask = u[..., :, None] >= cdf[..., None, :]  # [N, V, B]
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
+    cdf_b = jnp.broadcast_to(cdf[..., None, :], mask.shape)
+    bins_b = jnp.broadcast_to(bins[..., None, :], mask.shape)
+    cdf_below = jnp.max(jnp.where(mask, cdf_b, neg), axis=-1)
+    bins_below = jnp.max(jnp.where(mask, bins_b, neg), axis=-1)
+    cdf_above = jnp.min(jnp.where(mask, pos, cdf_b), axis=-1)
+    bins_above = jnp.min(jnp.where(mask, pos, bins_b), axis=-1)
+    cdf_above = jnp.where(jnp.isinf(cdf_above), cdf[..., -1:], cdf_above)
+    bins_above = jnp.where(jnp.isinf(bins_above), bins[..., -1:], bins_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -142,6 +142,10 @@ class TrainConfig:
     mesh_shape: Optional[List[int]] = None  # e.g. [8] -> 1-D ray-DP mesh
     log_every_host: int = 100
     use_pallas_sampling: bool = False
+    # Pallas fused MLP on supported shapes (TPU). Correctness-verified;
+    # currently at parity with the XLA path on v5e (~80 eff TFLOP/s), so off
+    # by default until the kernel wins the A/B.
+    use_fused_mlp: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -23,6 +23,31 @@ from depth_lidar_nerf_tpu.render.renderer import RenderConfig
 from depth_lidar_nerf_tpu.train.config import TrainConfig
 
 
+class FusedMLP:
+    """Duck-types ``NeRFMLP`` init/apply, dispatching supported shapes to the
+    fused Pallas kernel (ops/fused_mlp.py) and everything else to Flax."""
+
+    def __init__(self, module: NeRFMLP):
+        self.module = module
+
+    def init(self, *args, **kwargs):
+        return self.module.init(*args, **kwargs)
+
+    def apply(self, params, pts_embed, views_embed=None, frozen_sigma=None):
+        from depth_lidar_nerf_tpu.ops import fused_mlp
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if (on_tpu and frozen_sigma is None and views_embed is not None
+                and fused_mlp.supports(params, self.module.use_viewdirs,
+                                       self.module.num_semantic_classes,
+                                       self.module.depth, self.module.width)):
+            return fused_mlp.fused_nerf_apply(
+                params, pts_embed, views_embed, self.module.depth,
+                self.module.dtype)
+        return self.module.apply(params, pts_embed, views_embed,
+                                 frozen_sigma=frozen_sigma)
+
+
 class Models(NamedTuple):
     """Static module bundle (hashable; safe to close over in jitted factories)."""
 
@@ -76,6 +101,9 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
     vgg = None
     if cfg.feature_loss and cfg.feature_loss_type == "vgg":
         vgg = VGG19Features(taps=tuple(cfg.vgg_layers or ("conv1_2", "conv2_2")))
+    if cfg.use_fused_mlp:
+        coarse = FusedMLP(coarse)
+        fine = FusedMLP(fine) if fine is not None else None
     return Models(coarse, fine, disc, vgg)
 
 

@@ -1,0 +1,168 @@
+"""KITTI-360 dataset adapter: LiDAR -> per-image depth supervision artifacts.
+
+Parity: ``preprocess/KITTI360/Kitti360Dataset_new.py`` (v2, with IP-Basic
+depth completion + sky stamping) and the raw-LiDAR path of
+``Kitti360Dataset.py`` (v1). Pipeline per frame:
+
+velodyne .bin -> TrVeloToRect (calibration chain, ``Kitti360Dataset_new.py:
+134-158``) -> K projection with in-image/positive-depth mask (``:162-176``)
+-> [optional] rasterize + ``fill_in_multiscale(extrapolate=True)`` + stamp sky
+pixels with 9999999 (``:191-244``) -> flatten to (coord, depth) lists; bounds
+are the .1/99.9 depth percentiles (``:188-193``); writes ``poses_bounds.npy``
+(cam2world rows + hwf + bounds) and ``depth_gt.npy``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from preprocess.kitti360.calibration import (
+    load_calibration_camera_to_pose,
+    load_calibration_rigid,
+)
+from preprocess.kitti360.camera import PerspectiveCamera
+from preprocess.kitti360.depth_completion import fill_in_multiscale
+
+SKY_DEPTH = 9999999.0
+
+
+class Kitti360Dataset:
+    def __init__(self, seq: int = 0, cam_id: int = 0,
+                 kitti360_path: str = "../../data/kitti/KITTI-360"):
+        self.root = kitti360_path
+        self.cam_id = cam_id
+        self.sequence = f"2013_05_28_drive_{seq:04d}_sync"
+        pose_dir = os.path.join(kitti360_path, "data_poses", self.sequence)
+        self.cam0_to_world_file = os.path.join(pose_dir,
+                                               f"cam{cam_id}_to_world.txt")
+        self.poses_file = os.path.join(pose_dir, "poses.txt")
+        self.velodyne_dir = os.path.join(kitti360_path, "data_3d_raw",
+                                         self.sequence, "velodyne_points",
+                                         "data")
+        self.image_dir = os.path.join(kitti360_path, "data_2d_raw",
+                                      self.sequence, f"image_{cam_id:02d}",
+                                      "data_rect")
+        calib = os.path.join(kitti360_path, "calibration")
+        self.cam_to_velo_file = os.path.join(calib, "calib_cam_to_velo.txt")
+        self.cam_to_pose_file = os.path.join(calib, "calib_cam_to_pose.txt")
+        self.camera = PerspectiveCamera(kitti360_path, self.sequence, cam_id)
+
+    # ------------------------------------------------------------- loaders
+
+    def image_path(self, frame: int) -> str:
+        return os.path.join(self.image_dir, f"{frame:010d}.png")
+
+    def load_velodyne(self, frame: int) -> np.ndarray:
+        """Homogeneous LiDAR points [N, 4] (intensity replaced by 1)."""
+        path = os.path.join(self.velodyne_dir, f"{frame:010d}.bin")
+        pcd = np.fromfile(path, dtype=np.float32).reshape(-1, 4).copy()
+        pcd[:, 3] = 1.0
+        return pcd
+
+    def cam2world(self, frame: int) -> np.ndarray:
+        arr = np.atleast_2d(np.loadtxt(self.cam0_to_world_file))
+        frames = arr[:, 0].astype(int)
+        poses = arr[:, 1:].reshape(-1, 4, 4)
+        idx = np.nonzero(frames == frame)[0]
+        if len(idx) == 0:
+            raise KeyError(f"frame {frame} has no cam{self.cam_id}_to_world pose")
+        return poses[idx[0]]
+
+    # ------------------------------------------------------ transform chain
+
+    def velo_to_rect(self) -> np.ndarray:
+        """Tr(velodyne -> rectified camera): the calibration chain of
+        Kitti360Dataset_new.py:134-150."""
+        cam0_to_velo = load_calibration_rigid(self.cam_to_velo_file)
+        cam_to_pose = load_calibration_camera_to_pose(self.cam_to_pose_file)
+        key = f"image_{self.cam_id:02d}"
+        camk_to_cam0 = np.linalg.inv(cam_to_pose["image_00"]) @ cam_to_pose[key]
+        cam_to_velo = cam0_to_velo @ camk_to_cam0
+        velo_to_cam = np.linalg.inv(cam_to_velo)
+        return self.camera.R_rect @ velo_to_cam
+
+    # ------------------------------------------------------------ pipeline
+
+    def project_lidar(self, frame: int):
+        """Project one sweep. Returns (u, v, depth) of in-image hits."""
+        pcd = self.load_velodyne(frame)
+        pts_cam = (self.velo_to_rect() @ pcd.T).T[:, :3]
+        u, v, depth = self.camera.project(pts_cam.T)
+        mask = ((u >= 0) & (u < self.camera.width)
+                & (v >= 0) & (v < self.camera.height) & (depth > 0))
+        return u[mask], v[mask], depth[mask]
+
+    def depth_and_coords(self, frame: int, sky_coords=None, complete=True):
+        """(coords [M,2], depth [M], min_depth, max_depth) for one frame."""
+        u, v, depth = self.project_lidar(frame)
+
+        if not complete:
+            coords = np.stack([u, v], axis=-1)
+            lo, hi = np.percentile(depth, 0.1), np.percentile(depth, 99.9)
+            return coords, depth, lo, hi
+
+        grid = np.zeros((self.camera.height, self.camera.width), np.float32)
+        grid[v, u] = depth
+        dense = fill_in_multiscale(grid, max_depth=depth.max() + 1,
+                                   extrapolate=True)
+        if sky_coords is not None and len(sky_coords):
+            sky = np.asarray(sky_coords)
+            dense[sky[:, 1], sky[:, 0]] = SKY_DEPTH
+
+        yy, xx = np.nonzero(dense != 0)
+        depths = dense[yy, xx]
+        coords = np.stack([xx, yy], axis=-1)
+        lo, hi = np.percentile(depths, 0.1), np.percentile(depths, 99.9)
+        return coords, depths, lo, hi
+
+    def create_poses_bounds_and_gt_depths(self, frames, sky_coords=None,
+                                          out_dir: str = "./train_data",
+                                          complete: bool = True):
+        """Write poses_bounds.npy + depth_gt.npy
+        (Kitti360Dataset_new.py:99-127)."""
+        cam = self.camera
+        hwf = np.array([cam.height, cam.width, cam.focal], np.float64).reshape(3, 1)
+
+        rows, depth_list = [], []
+        for i, frame in enumerate(frames):
+            pose = self.cam2world(frame)[:3, :]
+            sc = sky_coords[i] if sky_coords is not None else None
+            coords, depths, lo, hi = self.depth_and_coords(frame, sc, complete)
+            depth_list.append({
+                "depth": np.asarray(depths),
+                "coord": np.asarray(coords, np.float64),
+                "weight": np.ones(len(depths)),
+            })
+            row = np.concatenate([pose, hwf], axis=1).reshape(-1)
+            rows.append(np.concatenate([row, [lo, hi]]))
+
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, "poses_bounds.npy"), np.stack(rows))
+        np.save(os.path.join(out_dir, "depth_gt.npy"),
+                np.array(depth_list, dtype=object), allow_pickle=True)
+        return np.stack(rows), depth_list
+
+
+# ------------------------------------------------------------------- OXTS
+
+EARTH_RADIUS = 6378137.0
+
+
+def lat_to_scale(lat: float) -> float:
+    """Mercator scale from latitude (preprocess_utils.py:22-25)."""
+    return np.cos(lat * np.pi / 180.0)
+
+
+def latlon_to_mercator(lat, lon, scale):
+    """lat/lon -> mercator meters (preprocess_utils.py:6-11)."""
+    mx = scale * lon * np.pi * EARTH_RADIUS / 180.0
+    my = scale * EARTH_RADIUS * np.log(np.tan((90.0 + lat) * np.pi / 360.0))
+    return mx, my
+
+
+def mercator_to_latlon(mx, my, scale):
+    lon = mx * 180.0 / (scale * np.pi * EARTH_RADIUS)
+    lat = 360.0 / np.pi * np.arctan(np.exp(my / (scale * EARTH_RADIUS))) - 90.0
+    return lat, lon

@@ -1,0 +1,169 @@
+"""KITTI-360 preprocessing tests on a synthetic mini-dataset fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from preprocess.kitti360.calibration import (
+    load_calibration_camera_to_pose,
+    load_calibration_rigid,
+    load_perspective_intrinsics,
+)
+from preprocess.kitti360.dataset import (
+    Kitti360Dataset,
+    SKY_DEPTH,
+    lat_to_scale,
+    latlon_to_mercator,
+    mercator_to_latlon,
+)
+from preprocess.kitti360.depth_completion import fill_in_fast, fill_in_multiscale
+from preprocess.kitti360 import segmentor as seg
+
+
+W_IMG, H_IMG, FOCAL = 64, 48, 60.0
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    """Minimal on-disk KITTI-360 tree: calibration + poses + one LiDAR sweep."""
+    root = tmp_path_factory.mktemp("kitti360")
+    seq = "2013_05_28_drive_0000_sync"
+    (root / "calibration").mkdir()
+    (root / "data_poses" / seq).mkdir(parents=True)
+    velo = root / "data_3d_raw" / seq / "velodyne_points" / "data"
+    velo.mkdir(parents=True)
+
+    # Identity-ish calibration: cameras at GPS/IMU origin, velodyne 1m up.
+    def mat_line(name, m):
+        return name + ": " + " ".join(f"{x:.9f}" for x in np.asarray(m).ravel())
+
+    eye34 = np.eye(4)[:3]
+    with open(root / "calibration" / "calib_cam_to_pose.txt", "w") as f:
+        for cam in ("image_00", "image_01", "image_02", "image_03"):
+            f.write(mat_line(cam, eye34) + "\n")
+    velo_to_cam0 = np.eye(4)
+    velo_to_cam0[2, 3] = -1.0  # cam0 -> velo: shift z
+    with open(root / "calibration" / "calib_cam_to_velo.txt", "w") as f:
+        f.write(" ".join(f"{x:.9f}" for x in velo_to_cam0[:3].ravel()))
+
+    K = np.array([[FOCAL, 0, W_IMG / 2, 0], [0, FOCAL, H_IMG / 2, 0],
+                  [0, 0, 1, 0]])
+    with open(root / "calibration" / "perspective.txt", "w") as f:
+        for cam in ("00", "01"):
+            f.write(mat_line(f"P_rect_{cam}", K) + "\n")
+            f.write(mat_line(f"R_rect_{cam}", np.eye(3)) + "\n")
+            f.write(f"S_rect_{cam}: {W_IMG} {H_IMG}\n")
+
+    # Poses: identity cam0_to_world at frame 7.
+    pose44 = np.eye(4)
+    with open(root / "data_poses" / seq / "cam0_to_world.txt", "w") as f:
+        f.write("7 " + " ".join(f"{x:.9f}" for x in pose44.ravel()) + "\n")
+    with open(root / "data_poses" / seq / "poses.txt", "w") as f:
+        f.write("7 " + " ".join(f"{x:.9f}" for x in pose44[:3].ravel()) + "\n")
+
+    # LiDAR sweep: a frontal wall of points at z=+5 in camera frame. Camera
+    # looks along +z (KITTI rectified convention); velodyne frame is camera
+    # shifted by 1m in z.
+    rng = np.random.default_rng(0)
+    n = 4000
+    xyz_cam = np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+        np.full(n, 5.0) + rng.uniform(-0.1, 0.1, n)
+    ], axis=-1)
+    # velo frame = cam frame + 1 in z (TrVeloToCam = inv(cam->velo))
+    xyz_velo = xyz_cam.copy()
+    xyz_velo[:, 2] += -1.0
+    pts = np.concatenate([xyz_velo, rng.uniform(0, 1, (n, 1))], -1)
+    pts.astype(np.float32).tofile(velo / "0000000007.bin")
+    return str(root)
+
+
+def test_calibration_parsers(kitti_root):
+    cam_to_pose = load_calibration_camera_to_pose(
+        os.path.join(kitti_root, "calibration", "calib_cam_to_pose.txt"))
+    assert set(cam_to_pose) == {"image_00", "image_01", "image_02", "image_03"}
+    np.testing.assert_allclose(cam_to_pose["image_00"], np.eye(4))
+
+    rigid = load_calibration_rigid(
+        os.path.join(kitti_root, "calibration", "calib_cam_to_velo.txt"))
+    assert rigid.shape == (4, 4) and rigid[2, 3] == -1.0
+
+    intr = load_perspective_intrinsics(
+        os.path.join(kitti_root, "calibration", "perspective.txt"))
+    assert intr["P_rect_00"][0, 0] == FOCAL
+    assert intr["R_rect_01"].shape == (3, 3)
+
+
+def test_lidar_projection(kitti_root):
+    ds = Kitti360Dataset(0, 0, kitti_root)
+    u, v, depth = ds.project_lidar(7)
+    assert len(u) > 1000
+    assert (depth > 4.5).all() and (depth < 5.5).all()
+    assert (u >= 0).all() and (u < W_IMG).all()
+    assert (v >= 0).all() and (v < H_IMG).all()
+
+
+def test_depth_and_coords_raw(kitti_root):
+    ds = Kitti360Dataset(0, 0, kitti_root)
+    coords, depth, lo, hi = ds.depth_and_coords(7, complete=False)
+    assert coords.shape[1] == 2
+    assert 4.5 < lo < hi < 5.6
+
+
+def test_create_poses_bounds_artifacts(kitti_root, tmp_path):
+    ds = Kitti360Dataset(0, 0, kitti_root)
+    sky = [np.array([[0, 0], [1, 0], [2, 0]])]  # few top pixels as "sky"
+    rows, depth_list = ds.create_poses_bounds_and_gt_depths(
+        [7], sky, out_dir=str(tmp_path))
+    assert rows.shape == (1, 17)
+    # hwf column
+    arr = rows[0, :15].reshape(3, 5)
+    assert arr[0, 4] == H_IMG and arr[1, 4] == W_IMG and arr[2, 4] == FOCAL
+    # depth completion filled the frame (far more points than the sweep)
+    d = depth_list[0]
+    assert len(d["depth"]) > 2000
+    assert (d["depth"] == SKY_DEPTH).sum() >= 3
+    assert os.path.exists(tmp_path / "poses_bounds.npy")
+    assert os.path.exists(tmp_path / "depth_gt.npy")
+
+
+def test_depth_completion_fills_holes():
+    rng = np.random.default_rng(1)
+    grid = np.zeros((60, 80), np.float32)
+    ys = rng.integers(20, 60, 300)
+    xs = rng.integers(0, 80, 300)
+    grid[ys, xs] = rng.uniform(5, 12, 300)
+    dense = fill_in_multiscale(grid, max_depth=15.0, extrapolate=True)
+    filled = (dense > 0.1).mean()
+    assert filled > 0.95
+    assert dense.max() <= 15.5 and dense[dense > 0.1].min() >= 0
+
+    fast = fill_in_fast(grid.copy(), max_depth=15.0, extrapolate=True)
+    assert (fast > 0.1).mean() > 0.9
+
+
+def test_segmentor_helpers():
+    logits = np.random.default_rng(0).normal(size=(19, 8, 10)).astype(np.float32)
+    logits = seg.zero_out_absent_classes(np.array([14, 15]), logits)
+    assert (logits[14] == 0).all()
+    probs = seg.softmax_probabilities(logits)
+    np.testing.assert_allclose(probs.sum(0), 1.0, rtol=1e-5)
+    preds = seg.class_predictions(probs)
+    assert preds.shape == (8, 10)
+    img = seg.segmented_image(preds)
+    assert img.shape == (8, 10, 3)
+    preds = np.zeros((8, 10), int)
+    preds[:2] = seg.SKY_CLASS
+    sc = seg.sky_coords(preds)
+    assert (sc[:, 1] < 2).all() and len(sc) == 20
+    down = seg.downsample_predictions(preds, 4, 5)
+    assert down.shape == (4, 5)
+
+
+def test_mercator_roundtrip():
+    lat, lon = 48.98, 8.43
+    scale = lat_to_scale(lat)
+    mx, my = latlon_to_mercator(lat, lon, scale)
+    lat2, lon2 = mercator_to_latlon(mx, my, scale)
+    assert abs(lat - lat2) < 1e-9 and abs(lon - lon2) < 1e-9
