@@ -34,12 +34,13 @@ def main():
     n_rand = int(os.environ.get("BENCH_N_RAND", 16384))
     n_steps = int(os.environ.get("BENCH_STEPS", 30))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
     cfg = TrainConfig(
         N_rand=n_rand, N_samples=64, N_importance=64, netdepth=4, netwidth=256,
         netdepth_fine=4, netwidth_fine=256, use_viewdirs=True, no_ndc=True,
         raw_noise_std=1.0, colmap_depth=True, depth_loss=True,
-        depth_lambda=0.01, compute_dtype=dtype,
+        depth_lambda=0.01, compute_dtype=dtype, use_fused_mlp=use_fused,
     )
     rcfg = render_config_from(cfg, num_semantic_classes=0, near=2.0, far=6.0)
     models = build_models(cfg, rcfg)

@@ -46,6 +46,7 @@ class RenderConfig:
     ndc: bool = True
     near: float = 0.0
     far: float = 1.0
+    use_pallas_sampling: bool = False  # fused Pallas inverse-CDF kernel (TPU)
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise (run_nerf.py:502-504)."""
@@ -141,10 +142,18 @@ def render_rays(
 
     if cfg.N_importance > 0:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(
-            z_mid, coarse.weights[..., 1:-1], cfg.N_importance,
-            det=not cfg.perturb, rng=k_pdf,
-        )
+        if cfg.use_pallas_sampling:
+            from depth_lidar_nerf_tpu.ops.sampling_pallas import sample_pdf_pallas
+
+            z_samples = sample_pdf_pallas(
+                z_mid, coarse.weights[..., 1:-1], cfg.N_importance,
+                det=not cfg.perturb, rng=k_pdf,
+            )
+        else:
+            z_samples = sample_pdf(
+                z_mid, coarse.weights[..., 1:-1], cfg.N_importance,
+                det=not cfg.perturb, rng=k_pdf,
+            )
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
         pts = (rays.origins[..., None, :]

@@ -143,9 +143,12 @@ class TrainConfig:
     log_every_host: int = 100
     use_pallas_sampling: bool = False
     # Pallas fused MLP on supported shapes (TPU). Correctness-verified;
-    # currently at parity with the XLA path on v5e (~80 eff TFLOP/s), so off
-    # by default until the kernel wins the A/B.
+    # currently at parity with the XLA path on v5e (~80 eff TFLOP/s) but with
+    # a far lower memory footprint (recompute backward: no saved activations,
+    # so 4x larger ray batches fit). Off by default until it wins the A/B.
     use_fused_mlp: bool = False
+    profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
+    debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
@@ -257,6 +260,7 @@ def render_config_from(cfg: TrainConfig, num_semantic_classes: int,
         ndc=use_ndc,
         near=near,
         far=far,
+        use_pallas_sampling=cfg.use_pallas_sampling,
     )
 
 

@@ -172,6 +172,8 @@ def render_path(models: Models, params, render_poses, hwf, cfg_render,
 
 
 def train(cfg: TrainConfig):
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     scene = load_scene(cfg)
     H, W, focal = scene.hwf
     rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near, scene.far)
@@ -202,6 +204,26 @@ def train(cfg: TrainConfig):
 
     # ---------------- render-only short-circuit (run_nerf.py:1030-1114) ----
     if cfg.render_only:
+        if cfg.render_test_ray:
+            # Depth-ray 3D visualization (run_nerf.py:1048-1101): export the
+            # first train view's depth-supervised rays + frusta as PLY.
+            from depth_lidar_nerf_tpu.ops.rays import rays_by_coord
+            from depth_lidar_nerf_tpu.utils.camera_viz import (
+                export_camera_frustums, export_depth_rays)
+
+            savedir = os.path.join(expdir, f"renderonly_rays_{start:06d}")
+            os.makedirs(savedir, exist_ok=True)
+            idx = int(scene.i_train[0])
+            d = scene.depth_gts[idx]
+            ro, rd = rays_by_coord(H, W, focal, jnp.asarray(scene.poses[idx]),
+                                   jnp.asarray(d["coord"]))
+            export_depth_rays(np.asarray(ro), np.asarray(rd),
+                              np.asarray(d["depth"]),
+                              os.path.join(savedir, "depth_rays.ply"))
+            export_camera_frustums(scene.poses,
+                                   os.path.join(savedir, "cameras.ply"))
+            print("wrote ray visualization to", savedir)
+            return state
         if cfg.render_test:
             poses = scene.poses[scene.i_test]
             tag = "test"
@@ -238,6 +260,8 @@ def train(cfg: TrainConfig):
         pass
 
     print(f"TRAIN views: {list(scene.i_train)}  TEST views: {list(scene.i_test)}")
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
     t0 = time.time()
     rays_done = 0
     for i in range(start + 1, cfg.N_iters + 1):
@@ -277,11 +301,32 @@ def train(cfg: TrainConfig):
                 writer.add_scalar("Test/psnr", t_psnr, i)
                 writer.add_scalar("Test/ssim", t_ssim, i)
 
+        if (cfg.i_img > 0 and i % cfg.i_img == 0 and writer
+                and len(scene.i_test) > 0):
+            # Validation-view image logging (the reference's i_img intent,
+            # run_nerf.py:1995-2014, made live).
+            img_i = int(host_rng.choice(scene.i_test))
+            out = render_image(models.coarse, models.fine, state.params,
+                               H, W, focal, jnp.asarray(scene.poses[img_i]),
+                               rcfg)
+            rgb = np.asarray(out["rgb_map"])
+            writer.add_image("Images/rgb_holdout", losses.to8b(rgb), i,
+                             dataformats="HWC")
+            from depth_lidar_nerf_tpu.utils.visualization import depth_to_colormap
+
+            writer.add_image("Images/depth_holdout",
+                             depth_to_colormap(np.asarray(out["depth_map"])), i,
+                             dataformats="HWC")
+            val_psnr = psnr_np(rgb, scene.images[img_i])
+            writer.add_scalar("Val/psnr_holdout", val_psnr, i)
+
         if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
             rgbs, disps = render_path(models, state.params, scene.render_poses,
                                       scene.hwf, rcfg)
             _write_videos(expdir, f"{cfg.expname}_spiral_{i:06d}_", rgbs, disps)
 
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
     save_state(mgr, state, cfg.N_iters)
     mgr.wait_until_finished()
     return state

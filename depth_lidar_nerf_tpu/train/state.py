@@ -48,6 +48,44 @@ class FusedMLP:
                                  frozen_sigma=frozen_sigma)
 
 
+class FrozenAlphaMLP:
+    """The NeRF_RGB variant (run_nerf_helpers.py:176-260): density comes from
+    a frozen pretrained alpha model under stop_gradient; only the color branch
+    trains."""
+
+    def __init__(self, module: NeRFMLP, alpha_module, alpha_params):
+        self.module = module
+        self.alpha_module = alpha_module
+        self.alpha_params = alpha_params
+
+    def init(self, *args, **kwargs):
+        return self.module.init(*args, **kwargs)
+
+    def apply(self, params, pts_embed, views_embed=None, frozen_sigma=None):
+        raw_a = self.alpha_module.apply(self.alpha_params, pts_embed, views_embed)
+        fs = jax.lax.stop_gradient(raw_a[..., 3:4])
+        return self.module.apply(params, pts_embed, views_embed, frozen_sigma=fs)
+
+
+class FrozenModel:
+    """A fully frozen field (the --no_coarse path, run_nerf.py:417-419,
+    606-616): the coarse sampling pass queries the pretrained alpha model and
+    nothing in it trains."""
+
+    def __init__(self, module, frozen_params):
+        self.module = module
+        self.frozen_params = frozen_params
+
+    def init(self, *args, **kwargs):
+        # Keep a (tiny, unused) param tree so the optimizer state stays valid.
+        return self.module.init(*args, **kwargs)
+
+    def apply(self, params, pts_embed, views_embed=None, frozen_sigma=None):
+        del params
+        return jax.lax.stop_gradient(
+            self.module.apply(self.frozen_params, pts_embed, views_embed))
+
+
 class Models(NamedTuple):
     """Static module bundle (hashable; safe to close over in jitted factories)."""
 
@@ -101,10 +139,54 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
     vgg = None
     if cfg.feature_loss and cfg.feature_loss_type == "vgg":
         vgg = VGG19Features(taps=tuple(cfg.vgg_layers or ("conv1_2", "conv2_2")))
-    if cfg.use_fused_mlp:
+
+    if cfg.alpha_model_path:
+        # create_nerf's alpha-model branch (run_nerf.py:400-431): load the
+        # pretrained fine network as the frozen density field.
+        alpha_module = NeRFMLP(
+            depth=cfg.netdepth_fine, width=cfg.netwidth_fine, in_channels=pts_dim,
+            in_channels_views=views_dim, use_viewdirs=cfg.use_viewdirs,
+            output_ch=output_ch, dtype=dtype,
+        )
+        alpha_params = load_alpha_params(cfg, alpha_module)
+        if cfg.no_coarse:
+            coarse = FrozenModel(alpha_module, alpha_params)
+        else:
+            coarse = FrozenAlphaMLP(coarse, alpha_module, alpha_params)
+        if fine is not None:
+            fine = FrozenAlphaMLP(fine, alpha_module, alpha_params)
+    elif cfg.use_fused_mlp:
         coarse = FusedMLP(coarse)
         fine = FusedMLP(fine) if fine is not None else None
     return Models(coarse, fine, disc, vgg)
+
+
+def load_alpha_params(cfg: TrainConfig, alpha_module: NeRFMLP):
+    """Load the frozen alpha model's params from an orbax checkpoint dir
+    (the fine network's tree, mirroring run_nerf.py:410-411)."""
+    import orbax.checkpoint as ocp
+
+    pts_dim = embedding_dim(3, cfg.multires if cfg.i_embed != -1 else 0)
+    views_dim = (embedding_dim(3, cfg.multires_views)
+                 if cfg.use_viewdirs and cfg.i_embed != -1 else 0)
+    pe = jnp.zeros((1, pts_dim))
+    ve = jnp.zeros((1, views_dim)) if cfg.use_viewdirs else None
+    template = alpha_module.init(jax.random.key(0), pe, ve)
+
+    path = cfg.alpha_model_path
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(path)
+    # Accept either a bare param tree or a full TrainState-like dict.
+    if isinstance(restored, dict) and "params" in restored and "fine" in str(
+            restored.get("params", {})):
+        tree = restored["params"]["fine"]
+    elif isinstance(restored, dict) and "fine" in restored:
+        tree = restored["fine"]
+    else:
+        tree = restored
+    # Shape-check against the template.
+    jax.tree.map(lambda a, b: None, template, tree)
+    return jax.tree.map(jnp.asarray, tree)
 
 
 def init_train_state(cfg: TrainConfig, rcfg: RenderConfig, models: Models,

@@ -106,6 +106,7 @@ def make_train_step(
     feature_on: bool = False,
     gan_on: bool = False,
     smooth_on: bool = False,
+    precrop_on: bool = False,
     mesh=None,
 ):
     """Build one jitted step for a given loss-schedule variant.
@@ -132,7 +133,25 @@ def make_train_step(
         metrics = {}
 
         # ---- ray batch: uniform gather from the device-resident tables ----
-        idx = jax.random.randint(keys[0], (n_rgb,), 0, rgb_table.origins.shape[0])
+        if cfg.no_batching:
+            # Single-image sampling with optional center precrop
+            # (run_nerf.py:1376-1404). With-replacement pixel draws replace
+            # the reference's no-replacement np.random.choice.
+            n_img = rgb_table.origins.shape[0] // (H * W)
+            ki, kr, kc = jax.random.split(keys[0], 3)
+            img = jax.random.randint(ki, (), 0, n_img)
+            if precrop_on:
+                dH = int(H // 2 * cfg.precrop_frac)
+                dW = int(W // 2 * cfg.precrop_frac)
+                rows = jax.random.randint(kr, (n_rgb,), H // 2 - dH, H // 2 + dH)
+                cols = jax.random.randint(kc, (n_rgb,), W // 2 - dW, W // 2 + dW)
+            else:
+                rows = jax.random.randint(kr, (n_rgb,), 0, H)
+                cols = jax.random.randint(kc, (n_rgb,), 0, W)
+            idx = img * (H * W) + rows * W + cols
+        else:
+            idx = jax.random.randint(keys[0], (n_rgb,), 0,
+                                     rgb_table.origins.shape[0])
         rays = gather_rays(rgb_table, idx, rcfg)
         target_s = rgb_table.rgb[idx]
         target_sem = rgb_table.semantic[idx] if cfg.semantic_loss else None
@@ -337,16 +356,15 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
     ``depth_inverse_loss and i % every_n == 0``.
     """
     base = make_train_step(cfg, rcfg, models, hwf, mesh=mesh)
-    variants = {}
+    variants = {(False, False, False, False): base}
 
-    def get_variant(feature_on, gan_on, smooth_on):
-        key = (feature_on, gan_on, smooth_on)
-        if not any(key):
-            return base
+    def get_variant(feature_on, gan_on, smooth_on, precrop_on):
+        key = (feature_on, gan_on, smooth_on, precrop_on)
         if key not in variants:
             variants[key] = make_train_step(
                 cfg, rcfg, models, hwf, mesh=mesh,
                 feature_on=feature_on, gan_on=gan_on, smooth_on=smooth_on,
+                precrop_on=precrop_on,
             )
         return variants[key]
 
@@ -356,7 +374,8 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
         gan_on = bool(cfg.gan_loss and i >= cfg.gan_start_iteration)
         smooth_on = bool(cfg.depth_inverse_loss
                          and i % cfg.depth_inverse_loss_every_n == 0)
-        return get_variant(feature_on, gan_on, smooth_on), (feature_on or gan_on
-                                                            or smooth_on)
+        precrop_on = bool(cfg.no_batching and i <= cfg.precrop_iters)
+        fn = get_variant(feature_on, gan_on, smooth_on, precrop_on)
+        return fn, (feature_on or gan_on or smooth_on)
 
     return base, select

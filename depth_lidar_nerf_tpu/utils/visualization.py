@@ -54,3 +54,20 @@ def masked_uv_depth(depth_map: np.ndarray, coords: np.ndarray) -> np.ndarray:
     vis = depth_to_colormap(depth_map)
     vis[~mask] = 0
     return vis
+
+
+def visualize_sigma(sigma, z_vals, filename: str) -> str:
+    """Density-vs-depth profile plot for one ray
+    (run_nerf_helpers.py:614-619)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure()
+    plt.plot(np.asarray(z_vals), np.asarray(sigma))
+    plt.xlabel("z_vals")
+    plt.ylabel("sigma")
+    plt.savefig(filename)
+    plt.close()
+    return filename

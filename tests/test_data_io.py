@@ -1,0 +1,175 @@
+"""Data I/O tests: COLMAP dense arrays, fused ply, DTU, keras import,
+colmap poses_bounds conversion."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+def test_colmap_dense_array_roundtrip(tmp_path, rng_np):
+    from depth_lidar_nerf_tpu.data.colmap_dense import read_array, write_array
+
+    depth = rng_np.uniform(0, 10, (12, 17)).astype(np.float32)
+    p = str(tmp_path / "depth.bin")
+    write_array(depth, p)
+    got = read_array(p)
+    np.testing.assert_allclose(got, depth)
+
+
+def test_fused_ply_roundtrip(tmp_path, rng_np):
+    from depth_lidar_nerf_tpu.data.colmap_dense import read_fused
+
+    n = 5
+    xyz = rng_np.standard_normal((n, 3)).astype(np.float32)
+    nrm = rng_np.standard_normal((n, 3)).astype(np.float32)
+    rgb = rng_np.integers(0, 255, (n, 3)).astype(np.uint8)
+    ply = tmp_path / "fused.ply"
+    with open(ply, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {n}\n".encode())
+        for prop in ("x", "y", "z", "nx", "ny", "nz"):
+            f.write(f"property float {prop}\n".encode())
+        for prop in ("red", "green", "blue"):
+            f.write(f"property uchar {prop}\n".encode())
+        f.write(b"end_header\n")
+        for i in range(n):
+            f.write(xyz[i].tobytes() + nrm[i].tobytes() + rgb[i].tobytes())
+    vis = tmp_path / "fused.ply.vis"
+    with open(vis, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            f.write(struct.pack("<I", 2))
+            f.write(np.array([i, i + 1], np.uint32).tobytes())
+
+    pts = read_fused(str(ply), str(vis))
+    assert len(pts) == n
+    np.testing.assert_allclose(pts[0].position, xyz[0])
+    assert pts[3].num_visible_images == 2
+    np.testing.assert_array_equal(pts[3].visible_image_idxs, [3, 4])
+
+
+def test_dtu_loader(tmp_path, rng_np):
+    from depth_lidar_nerf_tpu.data.dtu import load_dtu_data
+
+    import imageio.v2 as imageio
+
+    H, W, f = 16, 20, 25.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    (tmp_path / "image").mkdir()
+    cams = {}
+    for i in range(3):
+        img = (rng_np.uniform(0, 1, (H, W, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(tmp_path / "image" / f"{i:03d}.png", img)
+        Rt = np.eye(4)
+        Rt[:3, 3] = [0, 0, 2 + i]
+        world_mat = np.eye(4)
+        world_mat[:3] = K @ Rt[:3]
+        cams[f"world_mat_{i}"] = world_mat
+        cams[f"scale_mat_{i}"] = np.eye(4)
+    np.savez(tmp_path / "cameras.npz", **cams)
+
+    images, poses, hwf = load_dtu_data(str(tmp_path))
+    assert images.shape == (3, H, W, 3)
+    assert poses.shape == (3, 4, 4)
+    assert abs(hwf[2] - f) < 1e-3
+    # camera centers must match -R^T t = [0,0,-(2+i)]
+    np.testing.assert_allclose(poses[1][:3, 3], [0, 0, -3], atol=1e-5)
+
+
+def test_keras_import(rng_np):
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.models.keras_import import load_weights_from_keras
+
+    depth, width = 2, 16
+    model = NeRFMLP(depth=depth, width=width, in_channels=9, in_channels_views=6)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 9)), jnp.zeros((1, 6)))
+
+    def shapes(name):
+        k = params["params"][name]["kernel"].shape
+        return rng_np.standard_normal(k).astype(np.float32), \
+            rng_np.standard_normal(k[1]).astype(np.float32)
+
+    ws = []
+    for i in range(depth):
+        ws.extend(shapes(f"trunk_{i}"))
+    ws.extend(shapes("feature"))
+    ws.extend(shapes("views_0"))
+    ws.extend(shapes("rgb"))
+    ws.extend(shapes("sigma"))
+
+    new = load_weights_from_keras(params, ws, depth)
+    np.testing.assert_allclose(new["params"]["trunk_0"]["kernel"], ws[0])
+    np.testing.assert_allclose(new["params"]["sigma"]["bias"],
+                               ws[-1].reshape(-1))
+    out = model.apply(new, jnp.ones((2, 9)), jnp.ones((2, 6)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_colmap_poses_bounds_conversion(tmp_path, rng_np):
+    """Synthetic sparse model -> poses_bounds.npy via the pipeline converter."""
+    import struct as st
+
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+
+    # cameras.bin: one SIMPLE_PINHOLE camera
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(st.pack("<Q", 1))
+        f.write(st.pack("<iiQQ", 1, 0, 40, 30))
+        f.write(st.pack("<ddd", 35.0, 20.0, 15.0))
+
+    # images.bin: two identity-pose images, each seeing 2 points
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(st.pack("<Q", 2))
+        for iid, name in ((1, b"b.png"), (2, b"a.png")):
+            f.write(st.pack("<i", iid))
+            f.write(st.pack("<dddd", 1, 0, 0, 0))
+            f.write(st.pack("<ddd", 0, 0, float(iid)))
+            f.write(st.pack("<i", 1))
+            f.write(name + b"\x00")
+            f.write(st.pack("<Q", 2))
+            for pid in (1, 2):
+                f.write(st.pack("<dd", 1.0, 2.0))
+                f.write(st.pack("<q", pid))
+
+    # points3D.bin: two points in front of both cameras
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(st.pack("<Q", 2))
+        for pid, z in ((1, 5.0), (2, 9.0)):
+            f.write(st.pack("<Q", pid))
+            f.write(st.pack("<ddd", 0.0, 0.0, z))
+            f.write(st.pack("<BBB", 10, 20, 30))
+            f.write(st.pack("<d", 0.5))
+            f.write(st.pack("<Q", 2))
+            f.write(np.array([[1, 0], [2, 0]], np.int32).tobytes())
+
+    from depth_lidar_nerf_tpu.data.colmap_pipeline import colmap_to_poses_bounds
+
+    arr = colmap_to_poses_bounds(str(tmp_path))
+    assert arr.shape == (2, 17)
+    # hwf column present
+    pose0 = arr[0, :15].reshape(3, 5)
+    assert pose0[0, 4] == 30 and pose0[1, 4] == 40 and pose0[2, 4] == 35.0
+    # bounds positive and ordered
+    assert (arr[:, 15] > 0).all() and (arr[:, 16] > arr[:, 15]).all()
+    assert os.path.exists(tmp_path / "poses_bounds.npy")
+
+
+def test_ray_dataset_epochs(rng_np):
+    from depth_lidar_nerf_tpu.data.ray_dataset import RayDataset, epoch_batches
+
+    rays = rng_np.standard_normal((100, 3, 3)).astype(np.float32)
+    sem = rng_np.integers(0, 5, 100)
+    ds = RayDataset(rays, sem)
+    assert len(ds) == 100
+    seen = []
+    for batch, labels in epoch_batches(ds, 32, np.random.default_rng(0)):
+        assert batch.shape[1:] == (3, 3)
+        assert len(batch) == len(labels)
+        seen.append(len(batch))
+    assert sum(seen) == 100  # full epoch coverage, no replacement

@@ -267,3 +267,27 @@ def test_raw2outputs_weights_sum_below_one(rng_np):
     d = rng_np.standard_normal((7, 3)).astype(np.float32)
     out = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d))
     assert (np.asarray(out.acc) <= 1.0 + 1e-5).all()
+
+
+def test_sample_pdf_pallas_matches_reference(rng_np):
+    """The fused Pallas kernel must agree with the jnp reference (same rng)."""
+    from depth_lidar_nerf_tpu.ops.sampling_pallas import sample_pdf_pallas
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    N, S = 70, 32  # non-multiple of tile to exercise padding
+    bins = np.sort(rng_np.uniform(1, 5, (N, S - 1)).astype(np.float32), -1)
+    weights = rng_np.uniform(0, 1, (N, S - 2)).astype(np.float32)
+    key = jax.random.key(3)
+    got = np.asarray(sample_pdf_pallas(jnp.asarray(bins), jnp.asarray(weights),
+                                       S, det=False, rng=key,
+                                       interpret=interpret))
+    want = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), S,
+                                 det=False, rng=key))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    got_det = np.asarray(sample_pdf_pallas(jnp.asarray(bins),
+                                           jnp.asarray(weights), S, det=True,
+                                           interpret=interpret))
+    want_det = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), S,
+                                     det=True))
+    np.testing.assert_allclose(got_det, want_det, rtol=1e-5, atol=1e-5)

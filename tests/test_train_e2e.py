@@ -124,3 +124,71 @@ def test_patch_losses_train(scene_dir, tmp_path):
     )
     state = train(cfg)
     assert int(state.step) == 12
+
+
+def test_no_batching_precrop(scene_dir, tmp_path):
+    cfg = _tiny_cfg(scene_dir, tmp_path, no_batching=True, precrop_iters=10,
+                    precrop_frac=0.5, N_iters=20, i_weights=20)
+    state = train(cfg)
+    assert int(state.step) == 20
+
+
+def test_eval_metrics_cli(scene_dir, tmp_path, capsys):
+    import shutil
+    from depth_lidar_nerf_tpu.evaluation.eval_metrics import main as eval_main
+
+    gen = tmp_path / "gen"; gt = tmp_path / "gt"
+    gen.mkdir(); gt.mkdir()
+    import imageio.v2 as imageio
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = (rng.uniform(0, 1, (16, 20, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(gt / f"{i}.png", img)
+        noisy = np.clip(img.astype(int) + rng.integers(-10, 10, img.shape), 0, 255)
+        imageio.imwrite(gen / f"{i}.png", noisy.astype(np.uint8))
+    eval_main(["--generated_dir", str(gen), "--gt_dir", str(gt), "--no_lpips"])
+    out = capsys.readouterr().out
+    assert "mean psnr" in out and "mean ssim" in out
+
+
+def test_lpips_metric_properties():
+    import jax
+    from depth_lidar_nerf_tpu.models.lpips import init_lpips
+
+    model, params = init_lpips(jax.random.key(0), H=32, W=32)
+    a = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3))
+    b = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3))
+    d_ab = float(model.apply(params, a, b)[0])
+    d_aa = float(model.apply(params, a, a)[0])
+    assert d_aa < 1e-6
+    assert d_ab > d_aa
+    # symmetry
+    d_ba = float(model.apply(params, b, a)[0])
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-5)
+
+
+def test_html_report(tmp_path):
+    from depth_lidar_nerf_tpu.utils.html_report import report_from_renders
+    import imageio.v2 as imageio
+
+    d = tmp_path / "renders"; d.mkdir()
+    img = np.zeros((8, 8, 3), np.uint8)
+    imageio.imwrite(d / "000.png", img)
+    imageio.imwrite(d / "000_depth.png", img)
+    path = report_from_renders(str(d), metrics=[{"file": "000.png", "psnr": 30.0}])
+    text = open(path).read()
+    assert "000.png" in text and "psnr" in text
+
+
+def test_camera_viz_exports(tmp_path):
+    from depth_lidar_nerf_tpu.utils.camera_viz import (
+        export_camera_frustums, export_depth_rays, plot_poses_matplotlib)
+
+    poses = np.stack([np.eye(4)[:3]] * 3)
+    p1 = export_camera_frustums(poses, str(tmp_path / "frusta.ply"))
+    assert open(p1).read().startswith("ply")
+    ro = np.zeros((5, 3)); rd = np.tile([0, 0, -1.0], (5, 1)); dep = np.ones(5)
+    p2 = export_depth_rays(ro, rd, dep, str(tmp_path / "rays.ply"))
+    assert "element edge 5" in open(p2).read()
+    p3 = plot_poses_matplotlib(poses, str(tmp_path / "poses.png"))
+    assert os.path.exists(p3)
