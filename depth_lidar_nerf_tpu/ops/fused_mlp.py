@@ -1,109 +1,201 @@
-"""Fused NeRF-MLP Pallas kernel (forward + custom-VJP backward).
+"""Fused NeRF-MLP Pallas kernel: positional encoding + MLP, fwd + custom VJP.
 
-Why: the NeRF MLP is a chain of small-width matmuls. Lowered layer-by-layer by
-XLA, every layer's [P, W] activation round-trips HBM, capping throughput at
-the bandwidth roofline (~52 TFLOP/s on v5e for W=256 bf16 — measured ~60
-including fusion wins). This kernel keeps the whole per-tile activation set
-resident in VMEM: HBM traffic collapses to (embedded inputs + 16B/point
-output + weight grads), making the step MXU-bound.
+Why: profiling the train step (see bench notes in the repo log) shows it is
+~92% MLP time, and with a naive kernel ~40% of the step was *glue* around the
+kernels — materializing the [P, 63] / [P, 27] embeddings, broadcasting
+per-ray view encodings to per-point, casting, and padding. This kernel
+consumes RAW positions [P, 4] and PER-RAY view directions [R, 4] and does
+everything on-chip:
 
-Backward strategy: **recompute** — the backward kernel re-runs the forward for
-its tile entirely in VMEM (≈33% extra FLOPs) instead of saving activations to
-HBM (which would reinstate the bandwidth wall). Weight gradients accumulate
-in float32 across the (sequential on TPU) grid into constant-index output
-blocks.
+- **In-kernel frequency encoding.** ``xf = x @ F`` where ``F`` spreads the
+  octave bands (an MXU matmul), then ``sin``/``cos`` on the VPU. The flax
+  embedding layout interleaves (sin, cos) per frequency; since the encoding
+  feeds a *learned* matmul, the first-layer weights are row-permuted on the
+  host instead (``_perm_*``), so the kernel's [x | sin | cos] block layout is
+  exactly equivalent.
+- **Per-ray view branch.** The view-direction part of the view layer is
+  computed once per ray ([R, 128]) and repeated to points via a VMEM
+  broadcast-reshape — the [P, 27] HBM broadcast never exists.
+- **Merged heads.** Sigma rides the feature matmul as output column 256+3 of
+  a [256, 384] weight (saving a separate MXU pass); rgb lands in columns 0..2
+  of the [T, 8] output block.
+- **Recompute backward.** The backward kernel re-runs the forward in VMEM
+  (no saved activations -> no HBM activation traffic, and ~4x larger ray
+  batches fit vs the XLA path) and accumulates float32 weight grads across
+  the sequential TPU grid. Positions/viewdirs are training data; their
+  cotangents are identically zero (fine z samples are stop_gradient'ed
+  upstream, run_nerf.py:634).
 
-Supported topology (the flagship fern_dsnerf/KITTI shape, run_nerf.py:398 +
-configs/fern_dsnerf.txt): trunk depth <= 4 (no live skip), viewdir branch, no
-semantic head, no frozen-sigma. Other shapes fall back to the plain Flax
-module (models/nerf_mlp.py).
-
-Weight layout (prepared by :func:`_pack_params` from the standard NeRFMLP
-param tree): all matmuls padded so outputs land in aligned lanes —
-``Ws`` places sigma in output column 3, ``Wr`` places rgb in columns 0..2, so
-``raw = hv @ Wr + h4 @ Ws + bias`` with no in-kernel scatter.
+Supported topology (the flagship fern_dsnerf/KITTI shape): trunk depth <= 4
+(no live skip), viewdirs on, no semantic head, no frozen sigma, width
+128/256, sample count dividing the 1024-point tile. Everything else falls
+back to the Flax module.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile of points processed per grid step.
-_TILE = 1024
-_E_PTS = 64   # padded positional-encoding width (63 -> 64)
-_E_VIEW = 32  # padded view-encoding width (27 -> 32)
-_OUT = 8      # padded raw output width (rgb 0:3, sigma 3)
+_TILE = 1024  # points per grid step
+_OUT = 8  # padded raw output (rgb 0:3, sigma 3)
+
+
+# ---------------------------------------------------------------- layouts
+
+def _enc_perm(n_freq: int) -> np.ndarray:
+    """kernel-order row index for each flax-order embedding row.
+
+    flax (run_nerf_helpers.py:25-55): [x(3), sin f0(3), cos f0(3), sin f1...]
+    kernel: [x(3), sin f0..f{n-1} (3n), cos f0..f{n-1} (3n)].
+    Returns ``perm`` with kernel_row = perm[flax_row].
+    """
+    perm = np.zeros(3 + 6 * n_freq, np.int64)
+    perm[:3] = np.arange(3)
+    for f in range(n_freq):
+        for d in range(3):
+            perm[3 + 6 * f + d] = 3 + 3 * f + d  # sin block
+            perm[6 + 6 * f + d] = 3 + 3 * n_freq + 3 * f + d  # cos block
+    return perm
+
+
+def _freq_matrix(n_freq: int) -> np.ndarray:
+    """[4, 3*n_freq] spreading x (col-3 padded) over octave bands:
+    xf[:, 3f + d] = x[:, d] * 2^f."""
+    F = np.zeros((4, 3 * n_freq), np.float32)
+    for f in range(n_freq):
+        for d in range(3):
+            F[d, 3 * f + d] = 2.0**f
+    return F
 
 
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _dot_t_a(a, b):
-    """a^T @ b contracting the batch (tile) dimension: [T,M],[T,N] -> [M,N]."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+def _dot_t_a(a, b):  # a^T @ b over the tile dim
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _dot_b_t(a, b):
-    """a @ b^T: [T,N],[M,N] -> [T,M]."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+def _dot_b_t(a, b):  # a @ b^T
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
-def _forward_tile(x, v, ws, depth):
-    """Shared forward math on one VMEM-resident tile. Returns (raw, acts)."""
-    (tw, tb, wf, bf, wsig, bsig, wv, bv, wr, br) = ws
-    h = x
-    acts = []
-    for i in range(depth):
-        h = jnp.maximum(_dot(h, tw[i]) + tb[i], 0.0).astype(x.dtype)
+class _Spec:
+    """Static kernel geometry for one (depth, width, S, freqs) combination."""
+
+    def __init__(self, depth, width, S, n_freq_p, n_freq_v, dtype):
+        self.depth = depth
+        self.width = width
+        self.S = S
+        self.R = _TILE // S  # rays per tile
+        self.n_freq_p = n_freq_p
+        self.n_freq_v = n_freq_v
+        self.dtype = dtype
+        self.perm_p = _enc_perm(n_freq_p)
+        self.perm_v = _enc_perm(n_freq_v)
+
+
+def _freq_matrix_in_kernel(n_freq: int):
+    """Build the [4, 3n] frequency spread matrix with iota (pallas kernels
+    cannot capture host constants)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (4, 3 * n_freq), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (4, 3 * n_freq), 1)
+    octave = jnp.exp((cols // 3).astype(jnp.float32) * jnp.float32(np.log(2.0)))
+    return jnp.where(rows == cols % 3, octave, 0.0)
+
+
+def _expand_matrix(R, S, dtype):
+    """[T, R] ray->point expansion: E[t, r] = 1 iff t // S == r. Used as an
+    MXU matmul to repeat per-ray rows to per-point rows (Mosaic's reshape of
+    a broadcast lowers incorrectly on TPU as of jax 0.9)."""
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (R * S, R), 0)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (R * S, R), 1)
+    return ((t_idx // S) == r_idx).astype(dtype)
+
+
+def _expand(E, per_ray):
+    return _dot(E, per_ray)  # [T, C] f32
+
+
+def _encode(x4, n_freq, dtype):
+    """[T, 4] f32 -> (x bf16 [T,4], sin [T,3n], cos [T,3n] bf16).
+
+    The frequency spread MUST run at true f32 precision: at octave 2^9 a
+    bf16-precision product is off by whole radians and the sin/cos encodings
+    turn to noise (observed: default MXU f32 matmul uses bf16 passes).
+    """
+    xf = jnp.dot(x4, _freq_matrix_in_kernel(n_freq),
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return x4.astype(dtype), jnp.sin(xf).astype(dtype), jnp.cos(xf).astype(dtype)
+
+
+def _forward_tile(spec: _Spec, pts, views, ws):
+    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br) = ws
+    dt = spec.dtype
+
+    xb, sp, cp = _encode(pts, spec.n_freq_p, dt)
+    h = jnp.maximum(
+        _dot(xb, w1x) + _dot(sp, w1s) + _dot(cp, w1c) + b1, 0.0).astype(dt)
+    acts = [h]
+    for i in range(spec.depth - 1):
+        h = jnp.maximum(_dot(h, tw[i]) + tb[i], 0.0).astype(dt)
         acts.append(h)
-    feat = (_dot(h, wf) + bf).astype(x.dtype)
-    sig8 = _dot(h, wsig) + bsig  # [T, 8] (sigma in col 3)
-    hv_in = jnp.concatenate([feat, v], axis=-1)
-    hv = jnp.maximum(_dot(hv_in, wv) + bv, 0.0).astype(x.dtype)
-    raw = (_dot(hv, wr) + br) + sig8  # [T, 8] f32
-    return raw, (acts, feat, hv_in, hv)
+
+    fs = _dot(h, wfs) + bfs  # [T, W + 8]
+    feat = fs[:, : spec.width].astype(dt)
+    sig8 = fs[:, spec.width : spec.width + _OUT]  # sigma in col 3
+
+    vb, sv, cv = _encode(views, spec.n_freq_v, dt)
+    hv_ray = (_dot(vb, wvv) + _dot(sv, wvs) + _dot(cv, wvc)).astype(dt)
+    E = _expand_matrix(spec.R, spec.S, dt)
+    hv_rep = _expand(E, hv_ray)  # [T, W/2] f32
+    hv = jnp.maximum(_dot(feat, wvf) + hv_rep + bv, 0.0).astype(dt)
+
+    out = _dot(hv, wr) + br + sig8  # [T, 8] f32
+    return out, (xb, sp, cp, acts, feat, hv, vb, sv, cv)
 
 
-def _fwd_kernel(depth, x_ref, v_ref, *w_refs):
-    out_ref = w_refs[-1]
-    ws = _unflatten_ws([r[:] for r in w_refs[:-1]], depth)
-    raw, _ = _forward_tile(x_ref[:], v_ref[:], ws, depth)
-    out_ref[:] = raw
+def _n_ws(depth):
+    # w1x w1s w1c b1 | (depth-1) tw | (depth-1) tb | wfs bfs wvf wvv wvs wvc bv wr br
+    return 4 + 2 * (depth - 1) + 9
 
 
-def _unflatten_ws(flat, depth):
-    tw = list(flat[:depth])
-    tb = list(flat[depth:2 * depth])
-    wf, bf, wsig, bsig, wv, bv, wr, br = flat[2 * depth:]
-    return (tw, tb, wf, bf, wsig, bsig, wv, bv, wr, br)
+def _unflatten(flat, depth):
+    w1x, w1s, w1c, b1 = flat[:4]
+    tw = list(flat[4:4 + depth - 1])
+    tb = list(flat[4 + depth - 1:4 + 2 * (depth - 1)])
+    rest = flat[4 + 2 * (depth - 1):]
+    wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br = rest
+    return (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br)
 
 
-def _bwd_kernel(depth, x_ref, v_ref, g_ref, *refs):
-    n_w = 2 * depth + 8
-    w_refs = refs[:n_w]
-    d_refs = refs[n_w:]
-    ws = _unflatten_ws([r[:] for r in w_refs], depth)
-    (tw, tb, wf, bf, wsig, bsig, wv, bv, wr, br) = ws
+def _fwd_kernel(spec: _Spec, pts_ref, views_ref, *refs):
+    out_ref = refs[-1]
+    ws = _unflatten([r[:] for r in refs[:-1]], spec.depth)
+    out, _ = _forward_tile(spec, pts_ref[:], views_ref[:], ws)
+    out_ref[:] = out
 
-    x = x_ref[:]
-    v = v_ref[:]
+
+def _bwd_kernel(spec: _Spec, pts_ref, views_ref, g_ref, *refs):
+    depth = spec.depth
+    n_w = _n_ws(depth)
+    w_refs, d_refs = refs[:n_w], refs[n_w:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br) = ws
+    dt = spec.dtype
+
     g = g_ref[:].astype(jnp.float32)  # [T, 8]
-
-    # Recompute forward (activations live only in VMEM).
-    _, (acts, feat, hv_in, hv) = _forward_tile(x, v, ws, depth)
+    _, (xb, sp, cp, acts, feat, hv, vb, sv, cv) = _forward_tile(
+        spec, pts_ref[:], views_ref[:], ws)
 
     i = pl.program_id(0)
 
@@ -116,191 +208,245 @@ def _bwd_kernel(depth, x_ref, v_ref, g_ref, *refs):
         def _():
             ref[:] = ref[:] + val
 
-    gb = g.astype(x.dtype)
-    # rgb head: raw += hv @ wr + br
-    acc(d_refs[2 * depth + 6], _dot_t_a(hv, gb))          # dWr
-    acc(d_refs[2 * depth + 7], jnp.sum(g, 0, keepdims=True))  # dbr
-    # sigma head: raw += h4 @ wsig + bsig
-    h_last = acts[-1]
-    acc(d_refs[2 * depth + 2], _dot_t_a(h_last, gb))      # dWsig
-    acc(d_refs[2 * depth + 3], jnp.sum(g, 0, keepdims=True))  # dbsig
+    gb = g.astype(dt)
+    # Grad output layout mirrors the weight list.
+    d = {}
+    # rgb head
+    d["wr"] = _dot_t_a(hv, gb)
+    d["br"] = jnp.sum(g, 0, keepdims=True)
 
     # view layer
-    dhv = _dot_b_t(gb, wr)  # [T, 128] f32
-    # Mosaic has no bf16 compare; mask in f32.
-    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(x.dtype)
-    acc(d_refs[2 * depth + 4], _dot_t_a(hv_in, dhv))      # dWv
-    acc(d_refs[2 * depth + 5], jnp.sum(dhv.astype(jnp.float32), 0, keepdims=True))
-    dhv_in = _dot_b_t(dhv, wv)  # [T, 256 + E_VIEW]
-    dfeat = dhv_in[:, : feat.shape[-1]].astype(x.dtype)
+    dhv = _dot_b_t(gb, wr)
+    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(dt)
+    d["wvf"] = _dot_t_a(feat, dhv)
+    d["bv"] = jnp.sum(dhv.astype(jnp.float32), 0, keepdims=True)
+    # per-ray pieces: reduce dhv to rays with E^T, then contract per-ray
+    # encodings (dW = enc^T @ (E^T @ dhv) == rep(enc)^T @ dhv).
+    E = _expand_matrix(spec.R, spec.S, dt)
+    dhv_ray = _dot_t_a(E, dhv).astype(dt)  # [R, W/2]
+    d["wvv"] = _dot_t_a(vb, dhv_ray)
+    d["wvs"] = _dot_t_a(sv, dhv_ray)
+    d["wvc"] = _dot_t_a(cv, dhv_ray)
 
-    # feature layer
-    acc(d_refs[2 * depth], _dot_t_a(h_last, dfeat))       # dWf
-    acc(d_refs[2 * depth + 1],
-        jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True))
+    # feature + sigma (merged)
+    dfeat = _dot_b_t(dhv, wvf).astype(dt)  # [T, W]
+    h_last = acts[-1]
+    d["wfs_f"] = _dot_t_a(h_last, dfeat)  # [W, W]
+    d["wfs_s"] = _dot_t_a(h_last, gb)  # [W, 8]
+    d["bfs_f"] = jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True)
+    d["bfs_s"] = jnp.sum(g, 0, keepdims=True)
 
     # trunk
-    dh = (_dot_b_t(dfeat, wf) + _dot_b_t(gb, wsig)).astype(jnp.float32)
-    for li in range(depth - 1, -1, -1):
-        dh = jnp.where(acts[li].astype(jnp.float32) > 0, dh, 0.0).astype(x.dtype)
-        h_prev = x if li == 0 else acts[li - 1]
-        acc(d_refs[li], _dot_t_a(h_prev, dh))             # dW trunk li
-        acc(d_refs[depth + li],
-            jnp.sum(dh.astype(jnp.float32), 0, keepdims=True))
-        if li > 0:
-            dh = _dot_b_t(dh, tw[li]).astype(jnp.float32)
+    wsig = wfs[:, spec.width:spec.width + _OUT]
+    dh = _dot_b_t(dfeat, wfs[:, :spec.width]) + _dot_b_t(gb, wsig)
+    d["tw"] = [None] * (depth - 1)
+    d["tb"] = [None] * (depth - 1)
+    for li in range(depth - 1, 0, -1):
+        dh = jnp.where(acts[li].astype(jnp.float32) > 0, dh, 0.0).astype(dt)
+        d["tw"][li - 1] = _dot_t_a(acts[li - 1], dh)
+        d["tb"][li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        dh = _dot_b_t(dh, tw[li - 1]).astype(jnp.float32)
+    dh = jnp.where(acts[0].astype(jnp.float32) > 0, dh, 0.0).astype(dt)
+    d["w1x"] = _dot_t_a(xb, dh)
+    d["w1s"] = _dot_t_a(sp, dh)
+    d["w1c"] = _dot_t_a(cp, dh)
+    d["b1"] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+
+    # Assemble merged-head grads in the packed shapes so outputs mirror ws.
+    dwfs = jnp.concatenate([d["wfs_f"], d["wfs_s"]], axis=1)
+    dbfs = jnp.concatenate([d["bfs_f"], d["bfs_s"]], axis=1)
+    flat = ([d["w1x"], d["w1s"], d["w1c"], d["b1"]] + d["tw"] + d["tb"]
+            + [dwfs, dbfs, d["wvf"], d["wvv"], d["wvs"], d["wvc"], d["bv"],
+               d["wr"], d["br"]])
+    for ref, val in zip(d_refs, flat):
+        acc(ref, val)
 
 
-def _pad_to(x, rows=None, cols=None):
-    r = 0 if rows is None else rows - x.shape[0]
-    if x.ndim == 1:
-        return jnp.pad(x, (0, r))
-    c = 0 if cols is None else cols - x.shape[1]
-    return jnp.pad(x, ((0, r), (0, c)))
-
+# --------------------------------------------------------------- packing
 
 def supports(params, use_viewdirs: bool, num_semantic: int, depth: int,
-             width: int) -> bool:
-    """Whether the fused kernel covers this model shape."""
-    if not use_viewdirs or num_semantic > 0 or depth > 4:
+             width: int, S: int, multires: int, multires_views: int) -> bool:
+    if not use_viewdirs or num_semantic > 0 or depth > 4 or depth < 1:
         return False
+    if S != -1 and (S <= 0 or _TILE % S != 0):
+        return False  # S=-1: defer the sample-count check to apply time
     p = params["params"] if "params" in params else params
     if "semantic_0" in p:
+        return False
+    if p["trunk_0"]["kernel"].shape[0] != 3 + 6 * multires:
+        return False
+    if p["views_0"]["kernel"].shape[0] != width + 3 + 6 * multires_views:
         return False
     return p["trunk_0"]["kernel"].shape[1] == width and width in (128, 256)
 
 
-def _pack_params(params, depth: int, dtype):
-    """NeRFMLP param tree -> the padded flat weight list the kernels take."""
+def _pack(params, spec: _Spec):
     p = params["params"] if "params" in params else params
-    tw = [p[f"trunk_{i}"]["kernel"].astype(dtype) for i in range(depth)]
-    tw[0] = _pad_to(tw[0], rows=_E_PTS)
-    tb = [p[f"trunk_{i}"]["bias"].astype(jnp.float32)[None, :] for i in range(depth)]
-    wf = p["feature"]["kernel"].astype(dtype)
-    bf = p["feature"]["bias"].astype(jnp.float32)[None, :]
-    # sigma -> output column 3 of an [W, 8] matmul
-    wsig_col = p["sigma"]["kernel"].astype(dtype)  # [W, 1]
-    wsig = jnp.zeros((wf.shape[0], _OUT), dtype).at[:, 3:4].set(wsig_col)
-    bsig = jnp.zeros((1, _OUT), jnp.float32).at[0, 3].set(
-        p["sigma"]["bias"].astype(jnp.float32)[0])
-    wv = _pad_to(p["views_0"]["kernel"].astype(dtype),
-                 rows=wf.shape[1] + _E_VIEW)
-    bv = p["views_0"]["bias"].astype(jnp.float32)[None, :]
-    wr = _pad_to(p["rgb"]["kernel"].astype(dtype), cols=_OUT)  # [128, 8]
+    dt = spec.dtype
+    W = spec.width
+
+    w1 = p["trunk_0"]["kernel"].astype(dt)  # [63, W] flax order
+    w1k = w1[spec.perm_p.argsort()]  # -> kernel order [x|sin|cos]
+    # NOTE: perm_p maps flax->kernel positions, so scatter = take(argsort).
+    n3 = 3 * spec.n_freq_p
+    w1x = jnp.pad(w1k[:3], ((0, 1), (0, 0)))
+    w1s = w1k[3:3 + n3]
+    w1c = w1k[3 + n3:]
+    b1 = p["trunk_0"]["bias"].astype(jnp.float32)[None]
+
+    tw = [p[f"trunk_{i}"]["kernel"].astype(dt) for i in range(1, spec.depth)]
+    tb = [p[f"trunk_{i}"]["bias"].astype(jnp.float32)[None]
+          for i in range(1, spec.depth)]
+
+    wfs = jnp.zeros((W, W + _OUT), dt)
+    wfs = wfs.at[:, :W].set(p["feature"]["kernel"].astype(dt))
+    wfs = wfs.at[:, W + 3:W + 4].set(p["sigma"]["kernel"].astype(dt))
+    bfs = jnp.zeros((1, W + _OUT), jnp.float32)
+    bfs = bfs.at[0, :W].set(p["feature"]["bias"].astype(jnp.float32))
+    bfs = bfs.at[0, W + 3].set(p["sigma"]["bias"].astype(jnp.float32)[0])
+
+    wv = p["views_0"]["kernel"].astype(dt)  # [W + 27, W/2] flax order
+    wvf = wv[:W]
+    wv_enc = wv[W:][spec.perm_v.argsort()]
+    n3v = 3 * spec.n_freq_v
+    wvv = jnp.pad(wv_enc[:3], ((0, 1), (0, 0)))
+    wvs = wv_enc[3:3 + n3v]
+    wvc = wv_enc[3 + n3v:]
+    bv = p["views_0"]["bias"].astype(jnp.float32)[None]
+
+    wr = jnp.pad(p["rgb"]["kernel"].astype(dt), ((0, 0), (0, _OUT - 3)))
     br = jnp.zeros((1, _OUT), jnp.float32).at[0, :3].set(
         p["rgb"]["bias"].astype(jnp.float32))
-    return [*tw, *tb, wf, bf, wsig, bsig, wv, bv, wr, br]
+    return [w1x, w1s, w1c, b1, *tw, *tb, wfs, bfs, wvf, wvv, wvs, wvc, bv,
+            wr, br]
 
 
-def _unpack_grads(dws, params, depth: int):
-    """Flat padded grad list -> NeRFMLP param-tree cotangent."""
+def _unpack_grads(dws, params, spec: _Spec):
     p = params["params"] if "params" in params else params
+    depth, W = spec.depth, spec.width
+    (dw1x, dw1s, dw1c, db1) = dws[:4]
+    dtw = dws[4:4 + depth - 1]
+    dtb = dws[4 + depth - 1:4 + 2 * (depth - 1)]
+    (dwfs, dbfs, dwvf, dwvv, dwvs, dwvc, dbv, dwr, dbr) = dws[
+        4 + 2 * (depth - 1):]
+    dwfs_f, dwfs_s = dwfs[:, :W], dwfs[:, W:]
+    dbfs_f, dbfs_s = dbfs[:, :W], dbfs[:, W:]
+
+    def cast_like(val, ref):
+        return val.astype(ref.dtype)
+
     out = {}
-    for i in range(depth):
+    w1_kernel_order = jnp.concatenate([dw1x[:3], dw1s, dw1c], axis=0)
+    out["trunk_0"] = {
+        "kernel": cast_like(w1_kernel_order[spec.perm_p],
+                            p["trunk_0"]["kernel"]),
+        "bias": cast_like(db1[0], p["trunk_0"]["bias"]),
+    }
+    for i in range(1, depth):
         out[f"trunk_{i}"] = {
-            "kernel": dws[i][: p[f"trunk_{i}"]["kernel"].shape[0]].astype(
-                p[f"trunk_{i}"]["kernel"].dtype),
-            "bias": dws[depth + i][0].astype(p[f"trunk_{i}"]["bias"].dtype),
+            "kernel": cast_like(dtw[i - 1], p[f"trunk_{i}"]["kernel"]),
+            "bias": cast_like(dtb[i - 1][0], p[f"trunk_{i}"]["bias"]),
         }
-    wf_g, bf_g, wsig_g, bsig_g, wv_g, bv_g, wr_g, br_g = dws[2 * depth:]
-    out["feature"] = {"kernel": wf_g.astype(p["feature"]["kernel"].dtype),
-                      "bias": bf_g[0].astype(p["feature"]["bias"].dtype)}
-    out["sigma"] = {"kernel": wsig_g[:, 3:4].astype(p["sigma"]["kernel"].dtype),
-                    "bias": bsig_g[0, 3:4].astype(p["sigma"]["bias"].dtype)}
+    out["feature"] = {"kernel": cast_like(dwfs_f, p["feature"]["kernel"]),
+                      "bias": cast_like(dbfs_f[0], p["feature"]["bias"])}
+    out["sigma"] = {"kernel": cast_like(dwfs_s[:, 3:4], p["sigma"]["kernel"]),
+                    "bias": cast_like(dbfs_s[0, 3:4], p["sigma"]["bias"])}
+    v_kernel_order = jnp.concatenate([dwvv[:3], dwvs, dwvc], axis=0)
     out["views_0"] = {
-        "kernel": wv_g[: p["views_0"]["kernel"].shape[0]].astype(
-            p["views_0"]["kernel"].dtype),
-        "bias": bv_g[0].astype(p["views_0"]["bias"].dtype)}
-    out["rgb"] = {"kernel": wr_g[:, :3].astype(p["rgb"]["kernel"].dtype),
-                  "bias": br_g[0, :3].astype(p["rgb"]["bias"].dtype)}
+        "kernel": cast_like(
+            jnp.concatenate([dwvf, v_kernel_order[spec.perm_v]], axis=0),
+            p["views_0"]["kernel"]),
+        "bias": cast_like(dbv[0], p["views_0"]["bias"]),
+    }
+    out["rgb"] = {"kernel": cast_like(dwr[:, :3], p["rgb"]["kernel"]),
+                  "bias": cast_like(dbr[0, :3], p["rgb"]["bias"])}
     return {"params": out} if "params" in params else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_raw(params, x, v, depth, dtype):
-    return _fused_fwd_impl(params, x, v, depth, dtype)
+# ------------------------------------------------------------ pallas calls
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _fused_fwd_impl(params, x, v, depth, dtype):
-    ws = _pack_params(params, depth, dtype)
-    P = x.shape[0]
+def _call_fwd(spec: _Spec, pts, views, ws):
+    P = pts.shape[0]
     grid = P // _TILE
-    w_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM)
-        for w in ws
-    ]
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, depth),
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_TILE, _E_PTS), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.R, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, _E_VIEW), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            *w_specs,
+            *[_full_spec(w.shape) for w in ws],
         ],
         out_specs=pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, _OUT), jnp.float32),
-    )(x, v, *ws)
-    return out
+    )(pts, views, *ws)
 
 
-def _fused_vjp_fwd(params, x, v, depth, dtype):
-    return _fused_fwd_impl(params, x, v, depth, dtype), (params, x, v)
-
-
-def _fused_vjp_bwd(depth, dtype, res, g):
-    params, x, v = res
-    ws = _pack_params(params, depth, dtype)
-    P = x.shape[0]
+def _call_bwd(spec: _Spec, pts, views, g, ws):
+    P = pts.shape[0]
     grid = P // _TILE
-    w_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM)
-        for w in ws
-    ]
-    d_specs = [
-        pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM)
-        for w in ws
-    ]
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
-    dws = pl.pallas_call(
-        functools.partial(_bwd_kernel, depth),
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((_TILE, _E_PTS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, _E_VIEW), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.R, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *w_specs,
+            *[_full_spec(w.shape) for w in ws],
         ],
-        out_specs=tuple(d_specs),
+        out_specs=tuple(_full_spec(w.shape) for w in ws),
         out_shape=tuple(d_shapes),
-    )(x, v, g, *ws)
-    d_params = _unpack_grads(list(dws), params, depth)
-    # Points/viewdirs are training data, never differentiated (fine z samples
-    # are stop_gradient'ed upstream, run_nerf.py:634). Return zeros; XLA DCEs
-    # them.
-    return d_params, jnp.zeros_like(x), jnp.zeros_like(v)
+    )(pts, views, g, *ws)
 
 
-_fused_raw.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_raw(params, pts, views, spec):
+    ws = _pack(params, spec)
+    return _call_fwd(spec, pts, views, ws)
 
 
-def fused_nerf_apply(params, pts_embed: jnp.ndarray, views_embed: jnp.ndarray,
-                     depth: int, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Drop-in for ``NeRFMLP.apply`` on supported shapes.
+def _fused_raw_fwd(params, pts, views, spec):
+    return _fused_raw(params, pts, views, spec), (params, pts, views)
 
-    ``pts_embed [..., 63]``, ``views_embed [..., 27]`` -> raw ``[..., 4]``.
-    """
-    lead = pts_embed.shape[:-1]
-    x = pts_embed.reshape(-1, pts_embed.shape[-1])
-    v = views_embed.reshape(-1, views_embed.shape[-1])
-    P = x.shape[0]
-    pad = (-P) % _TILE
-    x = jnp.pad(x.astype(dtype), ((0, pad), (0, _E_PTS - x.shape[-1])))
-    v = jnp.pad(v.astype(dtype), ((0, pad), (0, _E_VIEW - v.shape[-1])))
-    raw = _fused_raw(params, x, v, depth, dtype)
-    return raw[:P, :4].reshape(*lead, 4)
+
+def _fused_raw_bwd(spec, res, g):
+    params, pts, views = res
+    ws = _pack(params, spec)
+    dws = _call_bwd(spec, pts, views, g, ws)
+    d_params = _unpack_grads(list(dws), params, spec)
+    return d_params, jnp.zeros_like(pts), jnp.zeros_like(views)
+
+
+_fused_raw.defvjp(_fused_raw_fwd, _fused_raw_bwd)
+
+_SPEC_CACHE = {}
+
+
+def fused_nerf_apply_raw(params, pts, viewdirs, *, depth, width, multires,
+                         multires_views, dtype=jnp.bfloat16):
+    """Raw-input fast path: ``pts [N, S, 3]``, unit ``viewdirs [N, 3]`` ->
+    raw ``[N, S, 4]`` (encoding + MLP fully in-kernel)."""
+    N, S, _ = pts.shape
+    key = (depth, width, S, multires, multires_views, str(dtype))
+    if key not in _SPEC_CACHE:
+        _SPEC_CACHE[key] = _Spec(depth, width, S, multires, multires_views,
+                                 dtype)
+    spec = _SPEC_CACHE[key]
+
+    rays_per_tile = _TILE // S
+    n_pad = (-N) % rays_per_tile
+    pts4 = jnp.pad(pts.astype(jnp.float32), ((0, n_pad), (0, 0), (0, 1)))
+    views4 = jnp.pad(viewdirs.astype(jnp.float32), ((0, n_pad), (0, 1)))
+    P = (N + n_pad) * S
+
+    raw = _fused_raw(params, pts4.reshape(P, 4), views4, spec)
+    return raw.reshape(N + n_pad, S, _OUT)[:N, :, :4]

@@ -92,13 +92,24 @@ def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
     """Encode and evaluate the field at ``pts [N, S, 3]``.
 
     Fuses the reference's ``run_network`` embed + chunked apply
-    (``run_nerf.py:60-74``) into the surrounding computation.
+    (``run_nerf.py:60-74``) into the surrounding computation. Encoding math
+    runs in float32 (the high octave bands need the mantissa) but the
+    materialized embedding is stored in the model's compute dtype — with
+    bfloat16 models this halves the largest intermediate HBM tensors of the
+    step.
     """
-    pts_embed = positional_encoding(pts, cfg.multires)
+    if (frozen_sigma is None and hasattr(model, "supports_raw")
+            and pts.ndim == 3 and pts.shape[-2] > 0
+            and (1024 % pts.shape[-2]) == 0 and viewdirs is not None
+            and model.supports_raw(params, cfg)):
+        return model.apply_raw(params, pts, viewdirs, cfg)
+    dtype = getattr(model, "dtype", None) or jnp.float32
+    pts_embed = positional_encoding(pts, cfg.multires).astype(dtype)
     views_embed = None
     if cfg.use_viewdirs:
         ve = positional_encoding(viewdirs, cfg.multires_views)  # [N, Ev]
-        views_embed = jnp.broadcast_to(ve[..., None, :], pts.shape[:-1] + ve.shape[-1:])
+        views_embed = jnp.broadcast_to(
+            ve[..., None, :], pts.shape[:-1] + ve.shape[-1:]).astype(dtype)
     return model.apply(params, pts_embed, views_embed, frozen_sigma=frozen_sigma)
 
 

@@ -29,23 +29,35 @@ class FusedMLP:
 
     def __init__(self, module: NeRFMLP):
         self.module = module
+        self.dtype = module.dtype
 
     def init(self, *args, **kwargs):
         return self.module.init(*args, **kwargs)
 
     def apply(self, params, pts_embed, views_embed=None, frozen_sigma=None):
-        from depth_lidar_nerf_tpu.ops import fused_mlp
-
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        if (on_tpu and frozen_sigma is None and views_embed is not None
-                and fused_mlp.supports(params, self.module.use_viewdirs,
-                                       self.module.num_semantic_classes,
-                                       self.module.depth, self.module.width)):
-            return fused_mlp.fused_nerf_apply(
-                params, pts_embed, views_embed, self.module.depth,
-                self.module.dtype)
         return self.module.apply(params, pts_embed, views_embed,
                                  frozen_sigma=frozen_sigma)
+
+    def supports_raw(self, params, cfg) -> bool:
+        """Whether the in-kernel-encoding fast path covers this call."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        return fused_mlp.supports(
+            params, self.module.use_viewdirs,
+            self.module.num_semantic_classes, self.module.depth,
+            self.module.width, S=-1, multires=cfg.multires,
+            multires_views=cfg.multires_views) is not False
+
+    def apply_raw(self, params, pts, viewdirs, cfg):
+        """Raw fast path: pts [N, S, 3], unit viewdirs [N, 3] -> raw."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp
+
+        return fused_mlp.fused_nerf_apply_raw(
+            params, pts, viewdirs, depth=self.module.depth,
+            width=self.module.width, multires=cfg.multires,
+            multires_views=cfg.multires_views, dtype=self.module.dtype)
 
 
 class FrozenAlphaMLP:
@@ -55,6 +67,7 @@ class FrozenAlphaMLP:
 
     def __init__(self, module: NeRFMLP, alpha_module, alpha_params):
         self.module = module
+        self.dtype = module.dtype
         self.alpha_module = alpha_module
         self.alpha_params = alpha_params
 
@@ -74,6 +87,7 @@ class FrozenModel:
 
     def __init__(self, module, frozen_params):
         self.module = module
+        self.dtype = getattr(module, "dtype", None)
         self.frozen_params = frozen_params
 
     def init(self, *args, **kwargs):
