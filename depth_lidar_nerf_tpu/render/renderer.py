@@ -248,3 +248,28 @@ def render_image(
     out = render_rays_tiled(model, fine_model, params, rays, cfg.eval_mode(),
                             rng=None, tile=tile)
     return jax.tree.map(lambda x: x.reshape((H, W) + x.shape[1:]), out)
+
+
+def sample_sigma(model, params, rays: Rays, z_vals, cfg: RenderConfig):
+    """Query the field at explicit depths: returns (rgb, sigma, ray outputs).
+
+    Parity: ``sample_sigma`` (``run_nerf_helpers.py:598-611``) /
+    ``render_test_ray`` (``run_nerf.py:361-386``) — the probing API used for
+    depth-ray diagnostics.
+    """
+    pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., :, None]
+    raw = query_network(model, params, pts, rays.viewdirs, cfg)
+    raw = raw.astype(jnp.float32)
+    rgb = jax.nn.sigmoid(raw[..., :3])
+    sigma = jax.nn.relu(raw[..., 3])
+    outs = raw2outputs(raw, z_vals, rays.directions,
+                       num_semantic_classes=cfg.num_semantic_classes)
+    return rgb, sigma, outs
+
+
+def render_test_ray(model, params, rays: Rays, cfg: RenderConfig):
+    """Uniform near->far probe along given rays (run_nerf.py:361-386)."""
+    t = jnp.linspace(0.0, 1.0, cfg.N_samples, dtype=jnp.float32)
+    z_vals = rays.near * (1.0 - t) + rays.far * t
+    rgb, sigma, outs = sample_sigma(model, params, rays, z_vals, cfg)
+    return rgb, sigma, z_vals, outs.depth

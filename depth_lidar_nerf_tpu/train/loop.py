@@ -230,6 +230,14 @@ def train(cfg: TrainConfig):
         elif cfg.render_train:
             poses = scene.poses[scene.i_train]
             tag = "train"
+        elif cfg.render_mypath:
+            # run_nerf.py:993-995: small spiral around a test pose.
+            from depth_lidar_nerf_tpu.data.poses import generate_render_path
+
+            base = scene.poses[scene.i_test][:1] if len(scene.i_test) else \
+                scene.poses[:1]
+            poses = generate_render_path(base, scene.hwf[2], sc=1.0)[:, :3, :4]
+            tag = "mypath"
         else:
             poses = np.asarray(scene.render_poses)[:, :3, :4]
             tag = "path"
@@ -343,5 +351,21 @@ def _write_videos(outdir, prefix, rgbs, disps):
             os.path.join(outdir, prefix + "disp.mp4"),
             losses.to8b(disps / (np.percentile(disps, 95) + 1e-8)), fps=30,
             quality=8)
-    except Exception as e:  # video codecs may be absent; PNGs already saved
-        print("video write skipped:", e)
+    except Exception:
+        # No mp4 codec in this environment: write animated GIFs instead.
+        try:
+            from PIL import Image
+
+            for name, stack in (("rgb", losses.to8b(rgbs)),
+                                ("disp", losses.to8b(
+                                    np.nan_to_num(disps)
+                                    / (np.percentile(np.nan_to_num(disps), 95)
+                                       + 1e-8)))):
+                frames = [Image.fromarray(f if f.ndim == 3 else
+                                          np.stack([f] * 3, -1))
+                          for f in stack]
+                frames[0].save(os.path.join(outdir, prefix + name + ".gif"),
+                               save_all=True, append_images=frames[1:],
+                               duration=33, loop=0)
+        except Exception as e:
+            print("video write skipped:", e)

@@ -166,3 +166,16 @@ def mercator_to_latlon(mx, my, scale):
     lon = mx * 180.0 / (scale * np.pi * EARTH_RADIUS)
     lat = 360.0 / np.pi * np.arctan(np.exp(my / (scale * EARTH_RADIUS))) - 90.0
     return lat, lon
+
+
+def postprocess_poses(poses):
+    """OXTS pose coordinate-frame conversion (preprocess_utils.py:28-47):
+    x=forward,y=right,z=down  ->  x=down,y=right,z=backwards."""
+    R = np.array([[0, 0, 1, 0], [0, 1, 0, 0], [-1, 0, 0, 0], [0, 0, 0, 1.0]])
+    out = []
+    for P in poses:
+        if len(np.atleast_1d(P)) == 0:
+            out.append([])
+            continue
+        out.append((R @ np.asarray(P).T).T)
+    return out

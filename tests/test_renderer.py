@@ -102,3 +102,16 @@ def test_render_image_tiling():
         np.asarray(out["rgb_map"]).reshape(-1, 3), np.asarray(ref["rgb_map"]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_sample_sigma_and_render_test_ray():
+    from depth_lidar_nerf_tpu.render.renderer import render_test_ray, sample_sigma
+
+    cfg, model, fine, params = _setup(n_importance=0)
+    rays = _rand_rays(cfg, n=6)
+    rgb, sigma, z_vals, depth = render_test_ray(model, params["coarse"], rays, cfg)
+    assert rgb.shape == (6, 16, 3) and sigma.shape == (6, 16)
+    assert (np.asarray(sigma) >= 0).all()
+    assert ((np.asarray(rgb) >= 0) & (np.asarray(rgb) <= 1)).all()
+    np.testing.assert_allclose(np.asarray(z_vals[:, 0]), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_vals[:, -1]), 6.0, rtol=1e-5)
