@@ -257,7 +257,22 @@ def train(cfg: TrainConfig):
         depth_table = build_depth_table(scene.depth_gts, scene.poses,
                                         scene.i_train, H, W, focal, rcfg)
 
-    base_step, select = build_step_fns(cfg, rcfg, models, scene.hwf)
+    # Multi-chip: ray-axis data parallelism over a device mesh. Params and
+    # tables replicate; the sharded step lets GSPMD emit the gradient psum.
+    mesh = None
+    if cfg.mesh_shape:
+        from depth_lidar_nerf_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh(cfg.mesh_shape)
+        state = replicate(mesh, state)
+        rgb_table = replicate(mesh, rgb_table)
+        if depth_table is not None:
+            depth_table = replicate(mesh, depth_table)
+        if vgg_params is not None:
+            vgg_params = replicate(mesh, vgg_params)
+        print(f"ray-DP mesh over {mesh.devices.size} devices")
+
+    base_step, select = build_step_fns(cfg, rcfg, models, scene.hwf, mesh=mesh)
 
     writer = None
     try:

@@ -187,7 +187,12 @@ def load_alpha_params(cfg: TrainConfig, alpha_module: NeRFMLP):
     ve = jnp.zeros((1, views_dim)) if cfg.use_viewdirs else None
     template = alpha_module.init(jax.random.key(0), pe, ve)
 
+    import os
+
     path = cfg.alpha_model_path
+    # CheckpointManager lays out <dir>/<step>/default/; accept either level.
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(path)
     # Accept either a bare param tree or a full TrainState-like dict.

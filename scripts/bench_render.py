@@ -1,0 +1,60 @@
+"""Render benchmark: full-image fps at 400x400 (BASELINE.md metric #3).
+
+Renders the flagship model (netdepth 4 / width 256 / 64+64 samples) repeatedly
+at 400x400 and reports fps + rays/sec. Honest timing: iterations are chained
+through a running checksum and closed with a host value fetch (the tunnel's
+block_until_ready returns early — see PERF.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.render import render_image
+    from depth_lidar_nerf_tpu.train.config import TrainConfig, render_config_from
+    from depth_lidar_nerf_tpu.train.state import build_models, init_train_state
+
+    H = W = int(os.environ.get("BENCH_RES", 400))
+    n = int(os.environ.get("BENCH_FRAMES", 5))
+    cfg = TrainConfig(N_samples=64, N_importance=64, netdepth=4, netwidth=256,
+                      netdepth_fine=4, netwidth_fine=256, use_viewdirs=True,
+                      no_ndc=True, compute_dtype="bfloat16")
+    rcfg = render_config_from(cfg, 0, 2.0, 6.0)
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+
+    fn = jax.jit(lambda p, c2w: render_image(
+        models.coarse, models.fine, p, H, W, 0.9 * W, c2w, rcfg,
+        tile=32768)["rgb_map"])
+
+    c2w = jnp.eye(4)[:3]
+    img = fn(state.params, c2w)
+    _ = float(img[0, 0, 0])  # warm + honest barrier
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        # chain through the pose so frames can't be elided
+        c2w = c2w.at[0, 3].add(img[0, 0, 0] * 1e-8)
+        img = fn(state.params, c2w)
+    _ = float(img[0, 0, 0])
+    dt = (time.perf_counter() - t0) / n
+
+    print(json.dumps({
+        "metric": f"render_fps_{H}x{W}",
+        "value": round(1.0 / dt, 3),
+        "unit": "fps",
+        "rays_per_sec": round(H * W / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,3 +72,25 @@ def test_sharded_step_runs_multiple_iterations():
             losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert int(state.step) == 5
+
+
+def test_cli_train_with_mesh(tmp_path):
+    """Full driver over an 8-virtual-device ray-DP mesh (--mesh_shape)."""
+    from depth_lidar_nerf_tpu.data.synthetic import make_scene
+    from depth_lidar_nerf_tpu.train.config import TrainConfig
+    from depth_lidar_nerf_tpu.train.loop import train
+
+    scene = tmp_path / "scene"
+    make_scene(str(scene), n_images=3, H=20, W=24, focal=22.0,
+               n_depth_points=80)
+    cfg = TrainConfig(
+        expname="mesh", basedir=str(tmp_path), datadir=str(scene),
+        dataset_type="llff", factor=0, llffhold=0, test_scene=[2],
+        N_rand=64, N_samples=8, N_importance=8, netdepth=2, netwidth=32,
+        netdepth_fine=2, netwidth_fine=32, use_viewdirs=True, no_ndc=True,
+        N_iters=10, i_print=5, i_weights=10, i_testset=0, i_video=0,
+        multires=4, multires_views=2, should_seed=True, mesh_shape=[8],
+        colmap_depth=True, depth_loss=True,
+    )
+    state = train(cfg)
+    assert int(state.step) == 10

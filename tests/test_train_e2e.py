@@ -192,3 +192,46 @@ def test_camera_viz_exports(tmp_path):
     assert "element edge 5" in open(p2).read()
     p3 = plot_poses_matplotlib(poses, str(tmp_path / "poses.png"))
     assert os.path.exists(p3)
+
+
+def test_frozen_alpha_model_path(scene_dir, tmp_path):
+    """NeRF_RGB path: train, checkpoint, then fine-tune color with the frozen
+    density from the checkpoint (run_nerf.py:400-431)."""
+    import glob
+
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=20, i_weights=20,
+                    expname="alpha_src")
+    train(cfg)
+    ckpt_dirs = sorted(glob.glob(os.path.join(
+        str(tmp_path), "alpha_src", "checkpoints", "*")))
+    assert ckpt_dirs
+
+    cfg2 = _tiny_cfg(scene_dir, tmp_path, N_iters=10, i_weights=10,
+                     expname="alpha_ft", alpha_model_path=ckpt_dirs[-1])
+    state = train(cfg2)
+    assert int(state.step) == 10
+
+
+def test_frozen_alpha_density_is_frozen(scene_dir, tmp_path):
+    """Gradients must not flow into the density head under FrozenAlphaMLP."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.train.state import FrozenAlphaMLP
+
+    m = NeRFMLP(depth=2, width=32, in_channels=9, in_channels_views=6)
+    pe, ve = jnp.zeros((4, 9)), jnp.zeros((4, 6))
+    alpha_params = m.init(jax.random.key(0), pe, ve)
+    wrapper = FrozenAlphaMLP(m, m, alpha_params)
+    params = m.init(jax.random.key(1), pe, ve)
+
+    def loss(p):
+        out = wrapper.apply(p, jnp.ones((4, 9)), jnp.ones((4, 6)))
+        return jnp.mean(out[..., 3] ** 2) + jnp.mean(out[..., :3] ** 2)
+
+    g = jax.grad(loss)(params)
+    # sigma head of the TRAINED params receives no gradient (alpha substituted)
+    assert float(jnp.abs(g["params"]["sigma"]["kernel"]).sum()) == 0.0
+    # but the color branch does
+    assert float(jnp.abs(g["params"]["rgb"]["kernel"]).sum()) > 0.0
