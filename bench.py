@@ -34,7 +34,7 @@ def main():
     n_rand = int(os.environ.get("BENCH_N_RAND", 16384))
     n_steps = int(os.environ.get("BENCH_STEPS", 30))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    use_fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
 
     cfg = TrainConfig(
         N_rand=n_rand, N_samples=64, N_importance=64, netdepth=4, netwidth=256,

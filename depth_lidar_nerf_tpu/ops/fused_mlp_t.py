@@ -1,0 +1,380 @@
+"""Fused NeRF-MLP Pallas kernel v4: transposed inputs, in-kernel encoding.
+
+The v3 packed-input kernel (ops/fused_mlp.py) still pays ~25ms/step of XLA
+glue materializing the packed [P, 128] encoding. v4 eliminates ALL large
+intermediates: the kernel reads raw positions as ``[4, P]`` float32 (points
+on the LANE axis — no (8,128)-tiling waste) and per-ray view directions as
+``[4, R]``, and computes the frequency encoding on-chip:
+
+- **Exact phases via a hi/lo bfloat16 split.** The octave spread
+  ``xf = F^T x`` has ONE power-of-two entry per output, so splitting
+  ``x = hi + lo`` into two bfloat16 matmul passes reproduces the f32 product
+  exactly (a power-of-two multiply is exact in bf16; the f32 accumulator adds
+  the halves) — no HIGHEST-precision 6-pass matmul needed.
+- **No transposes, no reshapes.** Every transposed operand is consumed with
+  ``dot_general`` contracting dimension 0; per-ray view activations expand to
+  points through an explicit 0/1 expansion matmul ``E`` (Mosaic's
+  broadcast+reshape miscompiles — PERF.md).
+- **Flax layout preserved.** First-layer/view weights are consumed as three
+  row blocks (x / sin / cos) selected by a fixed permutation applied host-side
+  to the (tiny) weight matrices; sigma rides the feature matmul.
+- **Recompute backward** as in v2/v3: no saved activations, f32 weight-grad
+  accumulation across the sequential grid, zero input cotangents.
+
+Same supported topology as v3; the dispatcher (`train/state.FusedMLP`) picks
+v4 when `DLNERF_FUSED_V4=1` or cfg requests it, else v3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from depth_lidar_nerf_tpu.ops.fused_mlp import _OUT, _TILE, supports  # noqa: F401
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_c0(a, b):
+    """Contract dim 0 of both: [K, M] x [K, N] -> [M, N]."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_b_t(a, b):  # a @ b^T
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _enc_perm(n_freq: int) -> np.ndarray:
+    """kernel_row = perm[flax_row] for the [x | sin | cos] block layout."""
+    perm = np.zeros(3 + 6 * n_freq, np.int64)
+    perm[:3] = np.arange(3)
+    for f in range(n_freq):
+        for d in range(3):
+            perm[3 + 6 * f + d] = 3 + 3 * f + d
+            perm[6 + 6 * f + d] = 3 + 3 * n_freq + 3 * f + d
+    return perm
+
+
+def _freq_spread(n_freq: int):
+    """In-kernel [4, 3n] octave matrix: F[d, 3f+d] = 2^f."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (4, 3 * n_freq), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (4, 3 * n_freq), 1)
+    octave = jnp.exp((cols // 3).astype(jnp.float32) * jnp.float32(np.log(2.0)))
+    return jnp.where(rows == cols % 3, octave, 0.0)
+
+
+def _encode_t(xt, n_freq, dtype):
+    """xt [4, M] f32 -> (x bf16 [4, M], sinT [3n, M], cosT [3n, M]).
+
+    Phases are exact: hi/lo bf16 split + power-of-two octave matmul.
+    """
+    F = _freq_spread(n_freq).astype(dtype)  # entries are 0 or 2^f (exact)
+    hi = xt.astype(dtype)
+    lo = (xt - hi.astype(jnp.float32)).astype(dtype)
+    xf = _dot_c0(F, hi) + _dot_c0(F, lo)  # [3n, M] f32, exact phases
+    return hi, jnp.sin(xf).astype(dtype), jnp.cos(xf).astype(dtype)
+
+
+def _expand_matrix(R, S, dtype):
+    """[T, R]: E[t, r] = 1 iff t // S == r (per-ray -> per-point)."""
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (R * S, R), 0)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (R * S, R), 1)
+    return ((t_idx // S) == r_idx).astype(dtype)
+
+
+def _unflatten(flat, depth):
+    (w1x, w1s, w1c, b1) = flat[:4]
+    tw = list(flat[4:4 + depth - 1])
+    tb = list(flat[4 + depth - 1:4 + 2 * (depth - 1)])
+    wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br = flat[4 + 2 * (depth - 1):]
+    return (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br)
+
+
+def _n_ws(depth):
+    return 4 + 2 * (depth - 1) + 9
+
+
+def _forward_tile(spec, xt, vt, ws):
+    depth, dtype, S, R = spec
+    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br) = ws
+    W = wfs.shape[0]
+
+    xb, sp, cp = _encode_t(xt, (w1s.shape[0]) // 3, dtype)
+    h = jnp.maximum(
+        _dot_c0(xb, w1x) + _dot_c0(sp, w1s) + _dot_c0(cp, w1c) + b1,
+        0.0).astype(dtype)
+    acts = [h]
+    for i in range(depth - 1):
+        h = jnp.maximum(_dot(h, tw[i]) + tb[i], 0.0).astype(dtype)
+        acts.append(h)
+
+    fs = _dot(h, wfs) + bfs
+    feat = fs[:, :W].astype(dtype)
+    sig8 = fs[:, W:W + _OUT]
+
+    vb, sv, cv = _encode_t(vt[:, :R], (wvs.shape[0]) // 3, dtype)
+    hv_ray = (_dot_c0(vb, wvv) + _dot_c0(sv, wvs)
+              + _dot_c0(cv, wvc)).astype(dtype)  # [R, W/2]
+    E = _expand_matrix(R, S, dtype)
+    hv = jnp.maximum(_dot(feat, wvf) + _dot(E, hv_ray) + bv, 0.0).astype(dtype)
+
+    out = _dot(hv, wr) + br + sig8
+    return out, (xb, sp, cp, acts, feat, hv, vb, sv, cv, E)
+
+
+def _fwd_kernel(spec, xt_ref, vt_ref, *refs):
+    out_ref = refs[-1]
+    ws = _unflatten([r[:] for r in refs[:-1]], spec[0])
+    out, _ = _forward_tile(spec, xt_ref[:], vt_ref[:], ws)
+    out_ref[:] = out
+
+
+def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
+    depth, dtype, S, R = spec
+    n_w = _n_ws(depth)
+    w_refs, d_refs = refs[:n_w], refs[n_w:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br) = ws
+    W = wfs.shape[0]
+
+    g = g_ref[:].astype(jnp.float32)
+    _, (xb, sp, cp, acts, feat, hv, vb, sv, cv, E) = _forward_tile(
+        spec, xt_ref[:], vt_ref[:], ws)
+
+    i = pl.program_id(0)
+
+    def acc(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i != 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    gb = g.astype(dtype)
+    dwr = jax.lax.dot_general(hv, gb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbr = jnp.sum(g, 0, keepdims=True)
+
+    dhv = _dot_b_t(gb, wr)
+    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(dtype)
+    dwvf = jax.lax.dot_general(feat, dhv, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbv = jnp.sum(dhv.astype(jnp.float32), 0, keepdims=True)
+    # per-ray reduction then contraction with the per-ray encodings
+    dhv_ray = jax.lax.dot_general(E, dhv, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dtype)  # [R, W/2]
+    dwvv = _dot(vb, dhv_ray)   # [4, W/2]
+    dwvs = _dot(sv, dhv_ray)
+    dwvc = _dot(cv, dhv_ray)
+
+    dfeat = _dot_b_t(dhv, wvf).astype(dtype)
+    h_last = acts[-1]
+    dwfs = jnp.concatenate([
+        jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(h_last, gb, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)], axis=1)
+    dbfs = jnp.concatenate([
+        jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True),
+        jnp.sum(g, 0, keepdims=True)], axis=1)
+
+    dh = _dot_b_t(dfeat, wfs[:, :W]) + _dot_b_t(gb, wfs[:, W:])
+    dtw = [None] * (depth - 1)
+    dtb = [None] * (depth - 1)
+    for li in range(depth - 1, 0, -1):
+        dh = jnp.where(acts[li].astype(jnp.float32) > 0, dh, 0.0).astype(dtype)
+        dtw[li - 1] = jax.lax.dot_general(
+            acts[li - 1], dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        dh = _dot_b_t(dh, tw[li - 1])
+    dh = jnp.where(acts[0].astype(jnp.float32) > 0, dh, 0.0).astype(dtype)
+    dw1x = _dot(xb, dh)  # [4, W]
+    dw1s = _dot(sp, dh)  # [3n, W]
+    dw1c = _dot(cp, dh)
+    db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+
+    flat = [dw1x, dw1s, dw1c, db1, *dtw, *dtb, dwfs, dbfs, dwvf, dwvv, dwvs,
+            dwvc, dbv, dwr, dbr]
+    for ref, val in zip(d_refs, flat):
+        acc(ref, val)
+
+
+# --------------------------------------------------------------- packing
+
+def _pack_params(params, depth, n_p, n_v, dtype):
+    p = params["params"] if "params" in params else params
+    W = p["trunk_0"]["kernel"].shape[1]
+
+    w1 = p["trunk_0"]["kernel"].astype(dtype)[_enc_perm(n_p).argsort()]
+    w1x = jnp.pad(w1[:3], ((0, 1), (0, 0)))
+    w1s = w1[3:3 + 3 * n_p]
+    w1c = w1[3 + 3 * n_p:]
+    b1 = p["trunk_0"]["bias"].astype(jnp.float32)[None]
+
+    tw = [p[f"trunk_{i}"]["kernel"].astype(dtype) for i in range(1, depth)]
+    tb = [p[f"trunk_{i}"]["bias"].astype(jnp.float32)[None]
+          for i in range(1, depth)]
+
+    wfs = jnp.zeros((W, W + _OUT), dtype)
+    wfs = wfs.at[:, :W].set(p["feature"]["kernel"].astype(dtype))
+    wfs = wfs.at[:, W + 3:W + 4].set(p["sigma"]["kernel"].astype(dtype))
+    bfs = jnp.zeros((1, W + _OUT), jnp.float32)
+    bfs = bfs.at[0, :W].set(p["feature"]["bias"].astype(jnp.float32))
+    bfs = bfs.at[0, W + 3].set(p["sigma"]["bias"].astype(jnp.float32)[0])
+
+    wv = p["views_0"]["kernel"].astype(dtype)
+    wvf = wv[:W]
+    wv_enc = wv[W:][_enc_perm(n_v).argsort()]
+    wvv = jnp.pad(wv_enc[:3], ((0, 1), (0, 0)))
+    wvs = wv_enc[3:3 + 3 * n_v]
+    wvc = wv_enc[3 + 3 * n_v:]
+    bv = p["views_0"]["bias"].astype(jnp.float32)[None]
+
+    wr = jnp.pad(p["rgb"]["kernel"].astype(dtype), ((0, 0), (0, _OUT - 3)))
+    br = jnp.zeros((1, _OUT), jnp.float32).at[0, :3].set(
+        p["rgb"]["bias"].astype(jnp.float32))
+    return [w1x, w1s, w1c, b1, *tw, *tb, wfs, bfs, wvf, wvv, wvs, wvc, bv,
+            wr, br]
+
+
+def _unpack_grads(dws, params, depth, n_p, n_v):
+    p = params["params"] if "params" in params else params
+    (dw1x, dw1s, dw1c, db1) = dws[:4]
+    dtw = dws[4:4 + depth - 1]
+    dtb = dws[4 + depth - 1:4 + 2 * (depth - 1)]
+    (dwfs, dbfs, dwvf, dwvv, dwvs, dwvc, dbv, dwr, dbr) = dws[
+        4 + 2 * (depth - 1):]
+    W = p["trunk_0"]["kernel"].shape[1]
+
+    def cl(val, ref):
+        return val.astype(ref.dtype)
+
+    out = {}
+    w1_kernel = jnp.concatenate([dw1x[:3], dw1s, dw1c], axis=0)
+    out["trunk_0"] = {"kernel": cl(w1_kernel[_enc_perm(n_p)],
+                                   p["trunk_0"]["kernel"]),
+                      "bias": cl(db1[0], p["trunk_0"]["bias"])}
+    for i in range(1, depth):
+        out[f"trunk_{i}"] = {
+            "kernel": cl(dtw[i - 1], p[f"trunk_{i}"]["kernel"]),
+            "bias": cl(dtb[i - 1][0], p[f"trunk_{i}"]["bias"])}
+    out["feature"] = {"kernel": cl(dwfs[:, :W], p["feature"]["kernel"]),
+                      "bias": cl(dbfs[0, :W], p["feature"]["bias"])}
+    out["sigma"] = {"kernel": cl(dwfs[:, W + 3:W + 4], p["sigma"]["kernel"]),
+                    "bias": cl(dbfs[0, W + 3:W + 4], p["sigma"]["bias"])}
+    v_kernel = jnp.concatenate([dwvv[:3], dwvs, dwvc], axis=0)
+    out["views_0"] = {
+        "kernel": cl(jnp.concatenate([dwvf, v_kernel[_enc_perm(n_v)]], axis=0),
+                     p["views_0"]["kernel"]),
+        "bias": cl(dbv[0], p["views_0"]["bias"])}
+    out["rgb"] = {"kernel": cl(dwr[:, :3], p["rgb"]["kernel"]),
+                  "bias": cl(dbr[0, :3], p["rgb"]["bias"])}
+    return {"params": out} if "params" in params else out
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_t(params, xt, vt, spec):
+    return _fwd_impl(params, xt, vt, spec)
+
+
+def _fwd_impl(params, xt, vt, spec):
+    depth, dtype, S, R, n_p, n_v = spec
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, (depth, dtype, S, R)),
+        grid=(P // _TILE,),
+        in_specs=[
+            pl.BlockSpec((4, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, _OUT), jnp.float32),
+    )(xt, vt, *ws)
+
+
+def _vjp_fwd(params, xt, vt, spec):
+    return _fwd_impl(params, xt, vt, spec), (params, xt, vt)
+
+
+def _vjp_bwd(spec, res, g):
+    params, xt, vt = res
+    depth, dtype, S, R, n_p, n_v = spec
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+    dws = pl.pallas_call(
+        functools.partial(_bwd_kernel, (depth, dtype, S, R)),
+        grid=(P // _TILE,),
+        in_specs=[
+            pl.BlockSpec((4, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=tuple(_full_spec(w.shape) for w in ws),
+        out_shape=tuple(d_shapes),
+    )(xt, vt, g, *ws)
+    d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
+
+
+_fused_t.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
+                          width, multires, multires_views,
+                          dtype=jnp.bfloat16):
+    """v4 entry: rays [N, 3] + z [N, S] -> raw [N, S, 4].
+
+    Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
+    ever exists in HBM.
+    """
+    N, S = z_vals.shape
+    rays_per_tile = _TILE // S
+    n_pad = (-N) % rays_per_tile
+    n_full = N + n_pad
+    if n_pad:
+        rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+        rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)))
+        viewdirs = jnp.pad(viewdirs, ((0, n_pad), (0, 0)))
+        z_vals = jnp.pad(z_vals, ((0, n_pad), (0, 0)))
+
+    # ptsT [3, N, S]: lanes = S, no padding waste; reshape to [3, P] is free.
+    ot = rays_o.astype(jnp.float32).T[:, :, None]
+    dt_ = rays_d.astype(jnp.float32).T[:, :, None]
+    ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
+    ptsT = jnp.pad(ptsT, ((0, 1), (0, 0)))  # [4, P]
+    # Views per tile, padded to the 128-lane block requirement:
+    # [4, n_tiles, R] -> [4, n_tiles, 128] -> [4, n_tiles * 128].
+    n_tiles = n_full * S // _TILE
+    vT = jnp.pad(viewdirs.astype(jnp.float32).T, ((0, 1), (0, 0)))
+    vT = vT.reshape(4, n_tiles, rays_per_tile)
+    vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 128 - rays_per_tile)))
+    vT = vT.reshape(4, n_tiles * 128)
+
+    spec = (depth, dtype, S, rays_per_tile, multires, multires_views)
+    raw = _fused_t(params, ptsT, vT, spec)
+    out = raw.reshape(n_full, S, _OUT)[:, :, :4]
+    return out[:N] if n_pad else out

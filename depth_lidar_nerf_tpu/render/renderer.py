@@ -113,6 +113,18 @@ def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
     return model.apply(params, pts_embed, views_embed, frozen_sigma=frozen_sigma)
 
 
+def _query_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig):
+    """Evaluate the field at per-ray depths, preferring the transposed fused
+    path (never materializes [P, 3] points in HBM)."""
+    S = z_vals.shape[-1]
+    if (hasattr(model, "apply_rays") and rays.viewdirs is not None
+            and S > 0 and (1024 % S) == 0 and model.supports_raw(params, cfg)):
+        return model.apply_rays(params, rays, z_vals, cfg)
+    pts = (rays.origins[..., None, :]
+           + rays.directions[..., None, :] * z_vals[..., :, None])
+    return query_network(model, params, pts, rays.viewdirs, cfg)
+
+
 def render_rays(
     model,
     fine_model,
@@ -136,8 +148,7 @@ def render_rays(
         rays.near, rays.far, cfg.N_samples,
         lindisp=cfg.lindisp, perturb=cfg.perturb, rng=k_strat,
     )
-    pts = rays.origins[..., None, :] + rays.directions[..., None, :] * z_vals[..., :, None]
-    raw = query_network(model, params["coarse"], pts, rays.viewdirs, cfg)
+    raw = _query_from_z(model, params["coarse"], rays, z_vals, cfg)
     coarse = raw2outputs(
         raw, z_vals, rays.directions,
         raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
@@ -167,12 +178,10 @@ def render_rays(
             )
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-        pts = (rays.origins[..., None, :]
-               + rays.directions[..., None, :] * z_all[..., :, None])
-        raw_f = query_network(
+        raw_f = _query_from_z(
             fine_model if fine_model is not None else model,
             params["fine"] if fine_model is not None else params["coarse"],
-            pts, rays.viewdirs, cfg,
+            rays, z_all, cfg,
         )
         fine = raw2outputs(
             raw_f, z_all, rays.directions,

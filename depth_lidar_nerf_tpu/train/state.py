@@ -59,6 +59,16 @@ class FusedMLP:
             width=self.module.width, multires=cfg.multires,
             multires_views=cfg.multires_views, dtype=self.module.dtype)
 
+    def apply_rays(self, params, rays, z_vals, cfg):
+        """Transposed fast path (v4): rays + per-ray depths -> raw."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp_t
+
+        return fused_mlp_t.fused_nerf_apply_rays(
+            params, rays.origins, rays.directions, rays.viewdirs, z_vals,
+            depth=self.module.depth, width=self.module.width,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+            dtype=self.module.dtype)
+
 
 class FrozenAlphaMLP:
     """The NeRF_RGB variant (run_nerf_helpers.py:176-260): density comes from
