@@ -65,9 +65,9 @@ def _enc_perm(n_freq: int) -> np.ndarray:
 
 
 def _freq_spread(n_freq: int):
-    """In-kernel [4, 3n] octave matrix: F[d, 3f+d] = 2^f."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (4, 3 * n_freq), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (4, 3 * n_freq), 1)
+    """In-kernel [3, 3n] octave matrix: F[d, 3f+d] = 2^f."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * n_freq), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * n_freq), 1)
     octave = jnp.exp((cols // 3).astype(jnp.float32) * jnp.float32(np.log(2.0)))
     return jnp.where(rows == cols % 3, octave, 0.0)
 
@@ -175,7 +175,7 @@ def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
     dhv_ray = jax.lax.dot_general(E, dhv, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dtype)  # [R, W/2]
-    dwvv = _dot(vb, dhv_ray)   # [4, W/2]
+    dwvv = _dot(vb, dhv_ray)   # [3, W/2]
     dwvs = _dot(sv, dhv_ray)
     dwvc = _dot(cv, dhv_ray)
 
@@ -219,7 +219,7 @@ def _pack_params(params, depth, n_p, n_v, dtype):
     W = p["trunk_0"]["kernel"].shape[1]
 
     w1 = p["trunk_0"]["kernel"].astype(dtype)[_enc_perm(n_p).argsort()]
-    w1x = jnp.pad(w1[:3], ((0, 1), (0, 0)))
+    w1x = w1[:3]
     w1s = w1[3:3 + 3 * n_p]
     w1c = w1[3 + 3 * n_p:]
     b1 = p["trunk_0"]["bias"].astype(jnp.float32)[None]
@@ -238,7 +238,7 @@ def _pack_params(params, depth, n_p, n_v, dtype):
     wv = p["views_0"]["kernel"].astype(dtype)
     wvf = wv[:W]
     wv_enc = wv[W:][_enc_perm(n_v).argsort()]
-    wvv = jnp.pad(wv_enc[:3], ((0, 1), (0, 0)))
+    wvv = wv_enc[:3]
     wvs = wv_enc[3:3 + 3 * n_v]
     wvc = wv_enc[3 + 3 * n_v:]
     bv = p["views_0"]["bias"].astype(jnp.float32)[None]
@@ -263,7 +263,7 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
         return val.astype(ref.dtype)
 
     out = {}
-    w1_kernel = jnp.concatenate([dw1x[:3], dw1s, dw1c], axis=0)
+    w1_kernel = jnp.concatenate([dw1x, dw1s, dw1c], axis=0)
     out["trunk_0"] = {"kernel": cl(w1_kernel[_enc_perm(n_p)],
                                    p["trunk_0"]["kernel"]),
                       "bias": cl(db1[0], p["trunk_0"]["bias"])}
@@ -275,7 +275,7 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
                       "bias": cl(dbfs[0, :W], p["feature"]["bias"])}
     out["sigma"] = {"kernel": cl(dwfs[:, W + 3:W + 4], p["sigma"]["kernel"]),
                     "bias": cl(dbfs[0, W + 3:W + 4], p["sigma"]["bias"])}
-    v_kernel = jnp.concatenate([dwvv[:3], dwvs, dwvc], axis=0)
+    v_kernel = jnp.concatenate([dwvv, dwvs, dwvc], axis=0)
     out["views_0"] = {
         "kernel": cl(jnp.concatenate([dwvf, v_kernel[_enc_perm(n_v)]], axis=0),
                      p["views_0"]["kernel"]),
@@ -303,8 +303,8 @@ def _fwd_impl(params, xt, vt, spec):
         functools.partial(_fwd_kernel, (depth, dtype, S, R)),
         grid=(P // _TILE,),
         in_specs=[
-            pl.BlockSpec((4, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
         ],
         out_specs=pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
@@ -327,8 +327,8 @@ def _vjp_bwd(spec, res, g):
         functools.partial(_bwd_kernel, (depth, dtype, S, R)),
         grid=(P // _TILE,),
         in_specs=[
-            pl.BlockSpec((4, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
@@ -365,14 +365,12 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
     ot = rays_o.astype(jnp.float32).T[:, :, None]
     dt_ = rays_d.astype(jnp.float32).T[:, :, None]
     ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
-    ptsT = jnp.pad(ptsT, ((0, 1), (0, 0)))  # [4, P]
     # Views per tile, padded to the 128-lane block requirement:
-    # [4, n_tiles, R] -> [4, n_tiles, 128] -> [4, n_tiles * 128].
+    # [3, n_tiles, R] -> [3, n_tiles, 128] -> [3, n_tiles * 128].
     n_tiles = n_full * S // _TILE
-    vT = jnp.pad(viewdirs.astype(jnp.float32).T, ((0, 1), (0, 0)))
-    vT = vT.reshape(4, n_tiles, rays_per_tile)
+    vT = viewdirs.astype(jnp.float32).T.reshape(3, n_tiles, rays_per_tile)
     vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 128 - rays_per_tile)))
-    vT = vT.reshape(4, n_tiles * 128)
+    vT = vT.reshape(3, n_tiles * 128)
 
     spec = (depth, dtype, S, rays_per_tile, multires, multires_views)
     raw = _fused_t(params, ptsT, vT, spec)
