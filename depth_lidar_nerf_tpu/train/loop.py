@@ -319,10 +319,14 @@ def train(cfg: TrainConfig):
             gts = scene.images[scene.i_test]
             t_psnr = float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
             t_ssim = float(np.mean([ssim_np(r, g) for r, g in zip(rgbs, gts)]))
-            print(f"[TEST] iter {i} psnr {t_psnr:.2f} ssim {t_ssim:.4f}")
+            t_lpips = _test_lpips(rgbs, gts)
+            print(f"[TEST] iter {i} psnr {t_psnr:.2f} ssim {t_ssim:.4f}"
+                  + (f" lpips {t_lpips:.4f}" if t_lpips is not None else ""))
             if writer:
                 writer.add_scalar("Test/psnr", t_psnr, i)
                 writer.add_scalar("Test/ssim", t_ssim, i)
+                if t_lpips is not None:
+                    writer.add_scalar("Test/lpips", t_lpips, i)
 
         if (cfg.i_img > 0 and i % cfg.i_img == 0 and writer
                 and len(scene.i_test) > 0):
@@ -353,6 +357,31 @@ def train(cfg: TrainConfig):
     save_state(mgr, state, cfg.N_iters)
     mgr.wait_until_finished()
     return state
+
+
+_LPIPS_CACHE = []
+
+
+def _test_lpips(rgbs, gts):
+    """Test-set LPIPS (run_nerf.py:1316,1934). Uses converted torch weights
+    from $LPIPS_TORCH_WEIGHTS when present, else fixed-seed init (a
+    deterministic relative perceptual metric; see models/lpips.py)."""
+    try:
+        if not _LPIPS_CACHE:
+            from depth_lidar_nerf_tpu.models.lpips import init_lpips
+
+            model, params = init_lpips(
+                jax.random.key(0),
+                weights_path=os.environ.get("LPIPS_TORCH_WEIGHTS"))
+            _LPIPS_CACHE.append(jax.jit(
+                lambda a, b: model.apply(params, a, b)))
+        fn = _LPIPS_CACHE[0]
+        vals = [float(np.asarray(fn(r[None].astype(np.float32),
+                                    g[None].astype(np.float32)))[0])
+                for r, g in zip(rgbs, gts)]
+        return float(np.mean(vals))
+    except Exception:
+        return None
 
 
 def _write_videos(outdir, prefix, rgbs, disps):
