@@ -1,0 +1,123 @@
+"""Fused Pallas MLP kernels vs the Flax module (interpreter mode, f32).
+
+Runs the v3 (packed-lane) and v4 (transposed, in-kernel encoding) kernels
+through the Pallas interpreter on the CPU backend and checks forward AND all
+parameter gradients against the Flax reference to f32 precision. TPU-mode
+numerics are spot-checked separately (bf16 rounding-path noise only —
+PERF.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    import depth_lidar_nerf_tpu.ops.fused_mlp as fm
+    import depth_lidar_nerf_tpu.ops.fused_mlp_t as fmt
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fm.pl, "pallas_call", patched)
+    monkeypatch.setattr(fmt.pl, "pallas_call", patched)
+
+
+def _setup(depth=4, width=64, mr=10, mrv=4, N=8, S=128):
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+
+    model = NeRFMLP(depth=depth, width=width, in_channels=3 + 6 * mr,
+                    in_channels_views=3 + 6 * mrv, dtype=jnp.float32)
+    k = jax.random.key(0)
+    ro = jax.random.normal(k, (N, 3))
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(jax.random.fold_in(k, 2), (N, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    pe = positional_encoding(pts, mr)
+    ve = positional_encoding(vd, mrv)
+    veb = jnp.broadcast_to(ve[:, None, :], (N, S, ve.shape[-1]))
+    params = model.init(jax.random.key(1), pe[:1, :1], veb[:1, :1])
+    return model, params, (ro, rd, vd, z, pts, pe, veb)
+
+
+def _grad_compare(loss_ref, loss_fused, params, tol):
+    g_r = jax.grad(loss_ref)(params)
+    g_f = jax.grad(loss_fused)(params)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g_r)[0],
+                            jax.tree_util.tree_leaves(g_f)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / (np.abs(a).mean() + 1e-12)
+        assert err < tol, (jax.tree_util.keystr(path), err)
+
+
+def test_fused_v4_matches_flax_f32():
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup()
+    kw = dict(depth=4, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32)
+    ref = np.asarray(model.apply(params, pe, veb))
+    got = np.asarray(fused_nerf_apply_rays(params, ro, rd, vd, z, **kw))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    _grad_compare(
+        lambda p: jnp.mean(jnp.sin(model.apply(p, pe, veb)) ** 2),
+        lambda p: jnp.mean(jnp.sin(
+            fused_nerf_apply_rays(p, ro, rd, vd, z, **kw)) ** 2),
+        params, tol=1e-3)
+
+
+def test_fused_v4_ray_padding():
+    """Ray counts that don't divide the tile get padded and sliced back."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(N=5, S=128)
+    got = fused_nerf_apply_rays(params, ro, rd, vd, z, depth=4, width=64,
+                                multires=10, multires_views=4,
+                                dtype=jnp.float32)
+    assert got.shape == (5, 128, 4)
+    ref = np.asarray(model.apply(params, pe, veb))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_v3_matches_flax_f32():
+    from depth_lidar_nerf_tpu.ops.fused_mlp import fused_nerf_apply_raw
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup()
+    got = np.asarray(fused_nerf_apply_raw(
+        params, pts, vd, depth=4, width=64, multires=10, multires_views=4,
+        dtype=jnp.float32))
+    ref = np.asarray(model.apply(params, pe, veb))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    _grad_compare(
+        lambda p: jnp.mean(jnp.sin(model.apply(p, pe, veb)) ** 2),
+        lambda p: jnp.mean(jnp.sin(fused_nerf_apply_raw(
+            p, pts, vd, depth=4, width=64, multires=10, multires_views=4,
+            dtype=jnp.float32)) ** 2),
+        params, tol=1e-3)
+
+
+def test_supports_predicate():
+    from depth_lidar_nerf_tpu.ops.fused_mlp import supports
+
+    model, params, _ = _setup(depth=4, width=64)
+    # width 64 is not a supported fused width
+    assert not supports(params, True, 0, 4, 64, 128, 10, 4)
+    model, params, _ = _setup(depth=4, width=128)
+    assert supports(params, True, 0, 4, 128, 128, 10, 4)
+    assert not supports(params, True, 0, 4, 128, 100, 10, 4)  # S !| tile
+    assert not supports(params, False, 0, 4, 128, 128, 10, 4)  # no viewdirs
+    assert not supports(params, True, 5, 4, 128, 128, 10, 4)  # semantic
+    assert not supports(params, True, 0, 8, 128, 128, 10, 4)  # deep trunk
