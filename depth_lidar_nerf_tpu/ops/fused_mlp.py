@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 1024  # points per grid step
+import os
+_TILE = int(os.environ.get("DLNERF_FUSED_TILE", 2048))  # points per grid step
 _OUT = 8  # padded raw output (rgb 0:3, sigma 3)
 _PACK = 128  # packed encoding lanes
 
