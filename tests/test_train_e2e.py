@@ -235,3 +235,26 @@ def test_frozen_alpha_density_is_frozen(scene_dir, tmp_path):
     assert float(jnp.abs(g["params"]["sigma"]["kernel"]).sum()) == 0.0
     # but the color branch does
     assert float(jnp.abs(g["params"]["rgb"]["kernel"]).sum()) > 0.0
+
+
+def test_train_ndc_with_ndc_depth(scene_dir, tmp_path, capsys):
+    """Forward-facing NDC training with NDC-transformed LiDAR depth
+    (the fern/KITTI default path: no_ndc=False, depth d -> 1 - 1/d,
+    load_llff.py:521)."""
+    cfg = _tiny_cfg(scene_dir, tmp_path, no_ndc=False, colmap_depth=True,
+                    depth_loss=True, depth_lambda=0.01,
+                    N_iters=150, i_print=50, i_weights=150, expname="ndc")
+    state = train(cfg)
+    outp = capsys.readouterr().out
+    lines = [l for l in outp.splitlines() if l.startswith("[TRAIN]")]
+    first = float(lines[0].split("psnr")[1].split()[0])
+    last = float(lines[-1].split("psnr")[1].split()[0])
+    assert np.isfinite(last), outp
+    assert last > first, outp
+    # NDC depth supervision targets live in [0, 1): check the loaded tables
+    from depth_lidar_nerf_tpu.train.loop import load_scene
+
+    scene = load_scene(cfg)
+    for d in scene.depth_gts:
+        assert (d["depth"] < 1.0 + 1e-5).all()
+    assert int(state.step) == 150
