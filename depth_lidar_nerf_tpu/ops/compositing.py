@@ -81,3 +81,52 @@ def raw2outputs(
         semantic = jnp.sum(raw[..., 4 : 4 + num_semantic_classes], axis=-2)
 
     return RayOutputs(rgb_map, disp_map, acc_map, weights, depth_map, semantic)
+
+
+def raw2outputs_t(
+    raw_t: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    raw_noise_std: float = 0.0,
+    white_bkgd: bool = False,
+    rng: jax.Array | None = None,
+) -> RayOutputs:
+    """Channel-major compositing: ``raw_t [4, N, S]`` (rgb 0:3, sigma 3).
+
+    Mathematically identical to :func:`raw2outputs`; this variant consumes the
+    fused kernel's transposed output so no [N*S, small]-lane tensor is ever
+    materialized (each [N, S] channel plane has a full-lane layout). Semantic
+    heads are not supported on this path (the dispatcher falls back).
+    """
+    raw_t = raw_t.astype(jnp.float32)
+    z_vals = z_vals.astype(jnp.float32)
+
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
+    dists = dists * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
+                                    keepdims=True)
+
+    rgb = jax.nn.sigmoid(raw_t[:3])  # [3, N, S]
+
+    sigma = raw_t[3]
+    if raw_noise_std > 0.0:
+        if rng is None:
+            raise ValueError("raw_noise_std > 0 requires an rng key")
+        sigma = sigma + jax.random.normal(rng, sigma.shape, sigma.dtype) * raw_noise_std
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10],
+                        axis=-1), axis=-1)[..., :-1]
+    weights = alpha * trans  # [N, S]
+
+    rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T  # [N, 3]
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return RayOutputs(rgb_map, disp_map, acc_map, weights, depth_map, None)

@@ -95,17 +95,20 @@ def _unflatten(flat, depth):
     (w1x, w1s, w1c, b1) = flat[:4]
     tw = list(flat[4:4 + depth - 1])
     tb = list(flat[4 + depth - 1:4 + 2 * (depth - 1)])
-    wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br = flat[4 + 2 * (depth - 1):]
-    return (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br)
+    (wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr, br) = flat[
+        4 + 2 * (depth - 1):]
+    return (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv,
+            wr, br)
 
 
 def _n_ws(depth):
-    return 4 + 2 * (depth - 1) + 9
+    return 4 + 2 * (depth - 1) + 10
 
 
 def _forward_tile(spec, xt, vt, ws):
     depth, dtype, S, R = spec
-    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br) = ws
+    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr,
+     br) = ws
     W = wfs.shape[0]
 
     xb, sp, cp = _encode_t(xt, (w1s.shape[0]) // 3, dtype)
@@ -117,9 +120,10 @@ def _forward_tile(spec, xt, vt, ws):
         h = jnp.maximum(_dot(h, tw[i]) + tb[i], 0.0).astype(dtype)
         acts.append(h)
 
-    fs = _dot(h, wfs) + bfs
-    feat = fs[:, :W].astype(dtype)
-    sig8 = fs[:, W:W + _OUT]
+    feat = (_dot(h, wfs) + bfs).astype(dtype)  # [T, W]
+    # transposed sigma head: [4, T] (row 3 = sigma)
+    sigT = jax.lax.dot_general(wsig, h, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
     vb, sv, cv = _encode_t(vt[:, :R], (wvs.shape[0]) // 3, dtype)
     hv_ray = (_dot_c0(vb, wvv) + _dot_c0(sv, wvs)
@@ -127,7 +131,10 @@ def _forward_tile(spec, xt, vt, ws):
     E = _expand_matrix(R, S, dtype)
     hv = jnp.maximum(_dot(feat, wvf) + _dot(E, hv_ray) + bv, 0.0).astype(dtype)
 
-    out = _dot(hv, wr) + br + sig8
+    # transposed rgb head + bias: out [4, T] channel-major
+    rgbT = jax.lax.dot_general(wr, hv, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    out = rgbT + sigT + br
     return out, (xb, sp, cp, acts, feat, hv, vb, sv, cv, E)
 
 
@@ -143,7 +150,8 @@ def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
     n_w = _n_ws(depth)
     w_refs, d_refs = refs[:n_w], refs[n_w:]
     ws = _unflatten([r[:] for r in w_refs], depth)
-    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wvf, wvv, wvs, wvc, bv, wr, br) = ws
+    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr,
+     br) = ws
     W = wfs.shape[0]
 
     g = g_ref[:].astype(jnp.float32)
@@ -161,12 +169,13 @@ def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
         def _():
             ref[:] = ref[:] + val
 
-    gb = g.astype(dtype)
-    dwr = jax.lax.dot_general(hv, gb, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dbr = jnp.sum(g, 0, keepdims=True)
+    gb = g.astype(dtype)  # [4, T]
+    dwr = jax.lax.dot_general(hv, gb, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [128, 4]
+    dbr = jnp.sum(g, 1, keepdims=True)  # [4, 1]
 
-    dhv = _dot_b_t(gb, wr)
+    dhv = jax.lax.dot_general(gb, wr, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [T, 128]
     dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(dtype)
     dwvf = jax.lax.dot_general(feat, dhv, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -181,16 +190,15 @@ def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
 
     dfeat = _dot_b_t(dhv, wvf).astype(dtype)
     h_last = acts[-1]
-    dwfs = jnp.concatenate([
-        jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32),
-        jax.lax.dot_general(h_last, gb, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)], axis=1)
-    dbfs = jnp.concatenate([
-        jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True),
-        jnp.sum(g, 0, keepdims=True)], axis=1)
+    dwfs = jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [W, W]
+    dbfs = jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True)
+    dwsig = jax.lax.dot_general(h_last, gb, (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [W, 4]
 
-    dh = _dot_b_t(dfeat, wfs[:, :W]) + _dot_b_t(gb, wfs[:, W:])
+    dh = _dot_b_t(dfeat, wfs) + jax.lax.dot_general(
+        gb, wsig, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dtw = [None] * (depth - 1)
     dtb = [None] * (depth - 1)
     for li in range(depth - 1, 0, -1):
@@ -206,8 +214,8 @@ def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
     dw1c = _dot(cp, dh)
     db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
 
-    flat = [dw1x, dw1s, dw1c, db1, *dtw, *dtb, dwfs, dbfs, dwvf, dwvv, dwvs,
-            dwvc, dbv, dwr, dbr]
+    flat = [dw1x, dw1s, dw1c, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwvv,
+            dwvs, dwvc, dbv, dwr, dbr]
     for ref, val in zip(d_refs, flat):
         acc(ref, val)
 
@@ -228,12 +236,10 @@ def _pack_params(params, depth, n_p, n_v, dtype):
     tb = [p[f"trunk_{i}"]["bias"].astype(jnp.float32)[None]
           for i in range(1, depth)]
 
-    wfs = jnp.zeros((W, W + _OUT), dtype)
-    wfs = wfs.at[:, :W].set(p["feature"]["kernel"].astype(dtype))
-    wfs = wfs.at[:, W + 3:W + 4].set(p["sigma"]["kernel"].astype(dtype))
-    bfs = jnp.zeros((1, W + _OUT), jnp.float32)
-    bfs = bfs.at[0, :W].set(p["feature"]["bias"].astype(jnp.float32))
-    bfs = bfs.at[0, W + 3].set(p["sigma"]["bias"].astype(jnp.float32)[0])
+    wfs = p["feature"]["kernel"].astype(dtype)  # [W, W]
+    bfs = p["feature"]["bias"].astype(jnp.float32)[None]
+    wsig = jnp.zeros((W, 4), dtype).at[:, 3:4].set(
+        p["sigma"]["kernel"].astype(dtype))
 
     wv = p["views_0"]["kernel"].astype(dtype)
     wvf = wv[:W]
@@ -243,11 +249,12 @@ def _pack_params(params, depth, n_p, n_v, dtype):
     wvc = wv_enc[3 + 3 * n_v:]
     bv = p["views_0"]["bias"].astype(jnp.float32)[None]
 
-    wr = jnp.pad(p["rgb"]["kernel"].astype(dtype), ((0, 0), (0, _OUT - 3)))
-    br = jnp.zeros((1, _OUT), jnp.float32).at[0, :3].set(
-        p["rgb"]["bias"].astype(jnp.float32))
-    return [w1x, w1s, w1c, b1, *tw, *tb, wfs, bfs, wvf, wvv, wvs, wvc, bv,
-            wr, br]
+    wr = jnp.pad(p["rgb"]["kernel"].astype(dtype), ((0, 0), (0, 1)))  # [128, 4]
+    br = jnp.zeros((4, 1), jnp.float32)
+    br = br.at[:3, 0].set(p["rgb"]["bias"].astype(jnp.float32))
+    br = br.at[3, 0].set(p["sigma"]["bias"].astype(jnp.float32)[0])
+    return [w1x, w1s, w1c, b1, *tw, *tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc,
+            bv, wr, br]
 
 
 def _unpack_grads(dws, params, depth, n_p, n_v):
@@ -255,7 +262,7 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
     (dw1x, dw1s, dw1c, db1) = dws[:4]
     dtw = dws[4:4 + depth - 1]
     dtb = dws[4 + depth - 1:4 + 2 * (depth - 1)]
-    (dwfs, dbfs, dwvf, dwvv, dwvs, dwvc, dbv, dwr, dbr) = dws[
+    (dwfs, dbfs, dwsig, dwvf, dwvv, dwvs, dwvc, dbv, dwr, dbr) = dws[
         4 + 2 * (depth - 1):]
     W = p["trunk_0"]["kernel"].shape[1]
 
@@ -271,17 +278,17 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
         out[f"trunk_{i}"] = {
             "kernel": cl(dtw[i - 1], p[f"trunk_{i}"]["kernel"]),
             "bias": cl(dtb[i - 1][0], p[f"trunk_{i}"]["bias"])}
-    out["feature"] = {"kernel": cl(dwfs[:, :W], p["feature"]["kernel"]),
-                      "bias": cl(dbfs[0, :W], p["feature"]["bias"])}
-    out["sigma"] = {"kernel": cl(dwfs[:, W + 3:W + 4], p["sigma"]["kernel"]),
-                    "bias": cl(dbfs[0, W + 3:W + 4], p["sigma"]["bias"])}
+    out["feature"] = {"kernel": cl(dwfs, p["feature"]["kernel"]),
+                      "bias": cl(dbfs[0], p["feature"]["bias"])}
+    out["sigma"] = {"kernel": cl(dwsig[:, 3:4], p["sigma"]["kernel"]),
+                    "bias": cl(dbr[3], p["sigma"]["bias"])}
     v_kernel = jnp.concatenate([dwvv, dwvs, dwvc], axis=0)
     out["views_0"] = {
         "kernel": cl(jnp.concatenate([dwvf, v_kernel[_enc_perm(n_v)]], axis=0),
                      p["views_0"]["kernel"]),
         "bias": cl(dbv[0], p["views_0"]["bias"])}
     out["rgb"] = {"kernel": cl(dwr[:, :3], p["rgb"]["kernel"]),
-                  "bias": cl(dbr[0, :3], p["rgb"]["bias"])}
+                  "bias": cl(dbr[:3, 0], p["rgb"]["bias"])}
     return {"params": out} if "params" in params else out
 
 
@@ -307,9 +314,9 @@ def _fwd_impl(params, xt, vt, spec):
             pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
         ],
-        out_specs=pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((4, _TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, _OUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
     )(xt, vt, *ws)
 
 
@@ -329,7 +336,7 @@ def _vjp_bwd(spec, res, g):
         in_specs=[
             pl.BlockSpec((3, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
+            pl.BlockSpec((4, _TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
         ],
@@ -346,7 +353,7 @@ _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
                           dtype=jnp.bfloat16):
-    """v4 entry: rays [N, 3] + z [N, S] -> raw [N, S, 4].
+    """v4 entry: rays [N, 3] + z [N, S] -> channel-major raw [4, N, S].
 
     Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
     ever exists in HBM.
@@ -373,6 +380,6 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
     vT = vT.reshape(3, n_tiles * 128)
 
     spec = (depth, dtype, S, rays_per_tile, multires, multires_views)
-    raw = _fused_t(params, ptsT, vT, spec)
-    out = raw.reshape(n_full, S, _OUT)[:, :, :4]
-    return out[:N] if n_pad else out
+    raw_t = _fused_t(params, ptsT, vT, spec)  # [4, P]
+    out = raw_t.reshape(4, n_full, S)
+    return out[:, :N] if n_pad else out

@@ -113,16 +113,31 @@ def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
     return model.apply(params, pts_embed, views_embed, frozen_sigma=frozen_sigma)
 
 
-def _query_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig):
-    """Evaluate the field at per-ray depths, preferring the transposed fused
-    path (never materializes [P, 3] points in HBM)."""
+def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
+                      noise_rng):
+    """Evaluate the field at per-ray depths and composite.
+
+    Prefers the transposed fused path (channel-major raw [4, N, S]; no
+    [P, small]-lane tensor ever exists in HBM) with the channel-major
+    compositor; falls back to the Flax module + standard compositing.
+    """
+    from depth_lidar_nerf_tpu.ops.compositing import raw2outputs_t
+
     S = z_vals.shape[-1]
     if (hasattr(model, "apply_rays") and rays.viewdirs is not None
-            and S > 0 and (1024 % S) == 0 and model.supports_raw(params, cfg)):
-        return model.apply_rays(params, rays, z_vals, cfg)
+            and S > 0 and (2048 % S) == 0 and model.supports_raw(params, cfg)):
+        raw_t = model.apply_rays(params, rays, z_vals, cfg)
+        return raw2outputs_t(
+            raw_t, z_vals, rays.directions,
+            raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
+            rng=noise_rng)
     pts = (rays.origins[..., None, :]
            + rays.directions[..., None, :] * z_vals[..., :, None])
-    return query_network(model, params, pts, rays.viewdirs, cfg)
+    raw = query_network(model, params, pts, rays.viewdirs, cfg)
+    return raw2outputs(
+        raw, z_vals, rays.directions,
+        raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
+        rng=noise_rng, num_semantic_classes=cfg.num_semantic_classes)
 
 
 def render_rays(
@@ -148,12 +163,8 @@ def render_rays(
         rays.near, rays.far, cfg.N_samples,
         lindisp=cfg.lindisp, perturb=cfg.perturb, rng=k_strat,
     )
-    raw = _query_from_z(model, params["coarse"], rays, z_vals, cfg)
-    coarse = raw2outputs(
-        raw, z_vals, rays.directions,
-        raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-        rng=k_noise_c, num_semantic_classes=cfg.num_semantic_classes,
-    )
+    coarse = _composite_from_z(model, params["coarse"], rays, z_vals, cfg,
+                               k_noise_c)
 
     ret = {
         "rgb_map": coarse.rgb, "disp_map": coarse.disp, "acc_map": coarse.acc,
@@ -178,15 +189,10 @@ def render_rays(
             )
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-        raw_f = _query_from_z(
+        fine = _composite_from_z(
             fine_model if fine_model is not None else model,
             params["fine"] if fine_model is not None else params["coarse"],
-            rays, z_all, cfg,
-        )
-        fine = raw2outputs(
-            raw_f, z_all, rays.directions,
-            raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-            rng=k_noise_f, num_semantic_classes=cfg.num_semantic_classes,
+            rays, z_all, cfg, k_noise_f,
         )
         ret.update({
             "rgb0": coarse.rgb, "disp0": coarse.disp, "acc0": coarse.acc,

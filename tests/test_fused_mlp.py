@@ -69,7 +69,9 @@ def test_fused_v4_matches_flax_f32():
               dtype=jnp.float32)
     ref = np.asarray(model.apply(params, pe, veb))
     got = np.asarray(fused_nerf_apply_rays(params, ro, rd, vd, z, **kw))
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # v4 returns channel-major [4, N, S]
+    np.testing.assert_allclose(got.transpose(1, 2, 0), ref, rtol=1e-4,
+                               atol=1e-4)
 
     _grad_compare(
         lambda p: jnp.mean(jnp.sin(model.apply(p, pe, veb)) ** 2),
@@ -86,9 +88,10 @@ def test_fused_v4_ray_padding():
     got = fused_nerf_apply_rays(params, ro, rd, vd, z, depth=4, width=64,
                                 multires=10, multires_views=4,
                                 dtype=jnp.float32)
-    assert got.shape == (5, 128, 4)
+    assert got.shape == (4, 5, 128)
     ref = np.asarray(model.apply(params, pe, veb))
-    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got).transpose(1, 2, 0), ref,
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_fused_v3_matches_flax_f32():

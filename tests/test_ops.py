@@ -291,3 +291,19 @@ def test_sample_pdf_pallas_matches_reference(rng_np):
     want_det = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), S,
                                      det=True))
     np.testing.assert_allclose(got_det, want_det, rtol=1e-5, atol=1e-5)
+
+
+def test_raw2outputs_t_matches_standard(rng_np):
+    from depth_lidar_nerf_tpu.ops.compositing import raw2outputs_t
+
+    N, S = 11, 24
+    raw = rng_np.standard_normal((N, S, 4)).astype(np.float32)
+    z = np.sort(rng_np.uniform(0.5, 4.0, (N, S)).astype(np.float32), -1)
+    d = rng_np.standard_normal((N, 3)).astype(np.float32)
+    a = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(d))
+    b = raw2outputs_t(jnp.asarray(raw.transpose(2, 0, 1)), jnp.asarray(z),
+                      jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.weights), np.asarray(b.weights), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.disp), np.asarray(b.disp), rtol=1e-5)
