@@ -180,9 +180,25 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
         if fine is not None:
             fine = FrozenAlphaMLP(fine, alpha_module, alpha_params)
     elif cfg.use_fused_mlp:
-        coarse = FusedMLP(coarse)
-        fine = FusedMLP(fine) if fine is not None else None
+        if cfg.mesh_shape and _mesh_size(cfg.mesh_shape) > 1:
+            # pallas_call is opaque to the GSPMD partitioner: under a
+            # multi-chip mesh the fused kernel cannot be sharded along the
+            # ray axis yet (round-2 backlog: shard_map-wrapped step). Use the
+            # partitionable Flax path instead of silently replicating.
+            print("use_fused_mlp disabled under a multi-chip mesh "
+                  "(GSPMD cannot partition the Pallas kernel); using the "
+                  "XLA path")
+        else:
+            coarse = FusedMLP(coarse)
+            fine = FusedMLP(fine) if fine is not None else None
     return Models(coarse, fine, disc, vgg)
+
+
+def _mesh_size(shape):
+    n = 1
+    for s in shape:
+        n *= s
+    return n
 
 
 def load_alpha_params(cfg: TrainConfig, alpha_module: NeRFMLP):
