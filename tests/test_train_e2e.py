@@ -258,3 +258,20 @@ def test_train_ndc_with_ndc_depth(scene_dir, tmp_path, capsys):
     for d in scene.depth_gts:
         assert (d["depth"] < 1.0 + 1e-5).all()
     assert int(state.step) == 150
+
+
+def test_reference_configs_parse():
+    """Drop-in compatibility: the reference's own config files parse into a
+    valid TrainConfig (if the reference checkout is mounted)."""
+    import glob
+
+    paths = sorted(glob.glob("/root/reference/configs/*.txt"))
+    if not paths:
+        pytest.skip("reference checkout not mounted")
+    from depth_lidar_nerf_tpu.train.config import parse_config_file
+
+    for path in paths:
+        vals = parse_config_file(path)
+        cfg = TrainConfig(**vals)
+        assert cfg.dataset_type == "llff"
+        assert cfg.N_rand > 0 and cfg.N_samples > 0
