@@ -101,10 +101,9 @@ def init_lpips(rng: jax.Array, H: int = 64, W: int = 64,
     x = jnp.zeros((1, H, W, 3))
     params = model.init(rng, x, x)
     if weights_path:
-        import torch
+        from depth_lidar_nerf_tpu.utils.torch_weights import load_state_dict
 
-        sd = torch.load(weights_path, map_location="cpu")
-        params = load_torch_lpips(params, sd)
+        params = load_torch_lpips(params, load_state_dict(weights_path))
     # Ensure the metric is non-negative with arbitrary init: square of lin
     # weights (torch lpips trains them non-negative).
     params = jax.tree.map(jnp.abs, params)

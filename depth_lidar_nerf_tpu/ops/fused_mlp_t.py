@@ -350,6 +350,17 @@ def _vjp_bwd(spec, res, g):
 _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def supports_rays_shape(S: int) -> bool:
+    """Shape guard for the v4 per-ray entry point.
+
+    ``S`` must tile ``_TILE`` evenly AND the resulting rays-per-tile
+    ``_TILE // S`` must fit the [3, 128] per-tile viewdir block — with
+    S < _TILE/128 (e.g. N_samples=8 at the default tile) the pad width in
+    :func:`fused_nerf_apply_rays` goes negative and tracing crashes.
+    """
+    return S > 0 and _TILE % S == 0 and _TILE // S <= 128
+
+
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
                           dtype=jnp.bfloat16):

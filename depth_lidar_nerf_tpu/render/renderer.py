@@ -47,6 +47,23 @@ class RenderConfig:
     near: float = 0.0
     far: float = 1.0
     use_pallas_sampling: bool = False  # fused Pallas inverse-CDF kernel (TPU)
+    # Memory knobs (run_nerf.py:77-89 ``--chunk``/``--netchunk``): ``chunk``
+    # bounds rays per compiled render tile. ``netchunk`` (points per MLP
+    # apply) has no separate loop to control in the fused design — the tile
+    # is capped so rays*samples stays within it when the user lowers it.
+    chunk: int = 1024 * 32
+    netchunk: int = 1024 * 64
+
+    def render_tile(self) -> int:
+        """Ray-tile size for :func:`render_rays_tiled` honoring both knobs."""
+        s_total = max(1, self.N_samples + self.N_importance)
+        by_points = max(128, self.netchunk // s_total)
+        # netchunk only binds when the user lowered it below the default
+        # (the fused kernels don't materialize per-point activations in HBM,
+        # so the default netchunk never needs to shrink tiles).
+        if self.netchunk < 1024 * 64:
+            return max(128, min(self.chunk, by_points))
+        return max(128, self.chunk)
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise (run_nerf.py:502-504)."""
@@ -122,10 +139,11 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
     compositor; falls back to the Flax module + standard compositing.
     """
     from depth_lidar_nerf_tpu.ops.compositing import raw2outputs_t
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_rays_shape
 
     S = z_vals.shape[-1]
     if (hasattr(model, "apply_rays") and rays.viewdirs is not None
-            and S > 0 and (2048 % S) == 0 and model.supports_raw(params, cfg)):
+            and supports_rays_shape(S) and model.supports_raw(params, cfg)):
         raw_t = model.apply_rays(params, rays, z_vals, cfg)
         return raw2outputs_t(
             raw_t, z_vals, rays.directions,
@@ -214,15 +232,18 @@ def render_rays_tiled(
     rays: Rays,
     cfg: RenderConfig,
     rng: jax.Array | None = None,
-    tile: int = 16384,
+    tile: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render an arbitrarily large ray batch in HBM-bounded tiles.
 
     The tile loop is a compiled ``lax.map`` (the TPU replacement for the
     reference's Python ``batchify_rays`` chunk loop, ``run_nerf.py:77-89``);
-    results are bit-identical to a one-shot :func:`render_rays` when
+    the tile size comes from ``cfg.chunk``/``cfg.netchunk`` unless overridden.
+    Results are bit-identical to a one-shot :func:`render_rays` when
     ``rng=None``. With an rng, each tile folds in its index.
     """
+    if tile is None:
+        tile = cfg.render_tile()
     n = rays.origins.shape[0]
     tile = min(tile, n)
     n_pad = (-n) % tile
@@ -252,7 +273,7 @@ def render_image(
     focal,
     c2w,
     cfg: RenderConfig,
-    tile: int = 16384,
+    tile: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a full image pose, tiled over rays to bound HBM.
 

@@ -41,3 +41,17 @@ def restore_latest(mgr, template: TrainState) -> Optional[TrainState]:
         return None
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def restore_from_path(path: str, template: TrainState) -> TrainState:
+    """Restore a *specific* checkpoint (``--ft_path``, run_nerf.py:449-450).
+
+    Accepts either a CheckpointManager step dir (``.../checkpoints/<step>``)
+    or the item dir inside it (containing ``default``).
+    """
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, abstract)

@@ -260,6 +260,8 @@ def render_config_from(cfg: TrainConfig, num_semantic_classes: int,
         near=near,
         far=far,
         use_pallas_sampling=cfg.use_pallas_sampling,
+        chunk=cfg.chunk,
+        netchunk=cfg.netchunk,
     )
 
 

@@ -117,6 +117,7 @@ class Models(NamedTuple):
     fine: Optional[NeRFMLP]
     discriminator: Optional[ESRDiscriminator]
     vgg: Optional[VGG19Features]
+    lpips: Optional[Any] = None  # train-time LPIPS feature loss (run_nerf.py:1242)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -161,8 +162,15 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
         )
     disc = ESRDiscriminator() if cfg.gan_loss else None
     vgg = None
+    lpips_mod = None
     if cfg.feature_loss and cfg.feature_loss_type == "vgg":
         vgg = VGG19Features(taps=tuple(cfg.vgg_layers or ("conv1_2", "conv2_2")))
+    elif cfg.feature_loss and cfg.feature_loss_type == "lpips":
+        # --feature_loss_type lpips (run_nerf.py:1240-1246): LPIPS distance
+        # replaces the VGG content loss; spatial maps logged when asked.
+        from depth_lidar_nerf_tpu.models.lpips import LPIPS
+
+        lpips_mod = LPIPS(spatial=cfg.lpips_spatial)
 
     if cfg.alpha_model_path:
         # create_nerf's alpha-model branch (run_nerf.py:400-431): load the
@@ -179,7 +187,8 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
             coarse = FrozenAlphaMLP(coarse, alpha_module, alpha_params)
         if fine is not None:
             fine = FrozenAlphaMLP(fine, alpha_module, alpha_params)
-    elif cfg.use_fused_mlp:
+        return Models(coarse, fine, disc, vgg, lpips_mod)
+    if cfg.use_fused_mlp:
         if cfg.mesh_shape and _mesh_size(cfg.mesh_shape) > 1:
             # pallas_call is opaque to the GSPMD partitioner: under a
             # multi-chip mesh the fused kernel cannot be sharded along the
@@ -191,7 +200,7 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
         else:
             coarse = FusedMLP(coarse)
             fine = FusedMLP(fine) if fine is not None else None
-    return Models(coarse, fine, disc, vgg)
+    return Models(coarse, fine, disc, vgg, lpips_mod)
 
 
 def _mesh_size(shape):
@@ -264,23 +273,35 @@ def init_train_state(cfg: TrainConfig, rcfg: RenderConfig, models: Models,
 
 
 def init_vgg_params(cfg: TrainConfig, models: Models, rng: jax.Array):
-    """Frozen VGG parameters (not part of the optimized state).
+    """Frozen perceptual-model parameters (not part of the optimized state).
 
-    Loads a converted torchvision state_dict from ``<datadir>/vgg19.pth`` or
-    ``$VGG19_TORCH_WEIGHTS`` when present; otherwise fixed-seed init.
+    VGG: loads a converted torchvision state_dict from ``<datadir>/vgg19.pth``
+    or ``$VGG19_TORCH_WEIGHTS`` when present; otherwise fixed-seed init.
+    LPIPS (``feature_loss_type=lpips``): loads a torch ``lpips`` state_dict
+    from ``$LPIPS_TORCH_WEIGHTS`` / ``<datadir>/lpips_alex.pth`` likewise.
     """
+    import os
+
+    if models.lpips is not None:
+        x = jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32)
+        params = models.lpips.init(rng, x, x)
+        for cand in (os.environ.get("LPIPS_TORCH_WEIGHTS"),
+                     os.path.join(cfg.datadir, "lpips_alex.pth")):
+            if cand and os.path.exists(cand):
+                from depth_lidar_nerf_tpu.models.lpips import load_torch_lpips
+                from depth_lidar_nerf_tpu.utils.torch_weights import (
+                    load_state_dict)
+
+                return load_torch_lpips(params, load_state_dict(cand))
+        return jax.tree.map(jnp.abs, params)
     if models.vgg is None:
         return None
     params = models.vgg.init(rng, jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32))
-    import os
-
     for cand in (os.environ.get("VGG19_TORCH_WEIGHTS"),
                  os.path.join(cfg.datadir, "vgg19.pth")):
         if cand and os.path.exists(cand):
-            import torch
-
             from depth_lidar_nerf_tpu.models.vgg import load_torch_vgg19
+            from depth_lidar_nerf_tpu.utils.torch_weights import load_state_dict
 
-            sd = torch.load(cand, map_location="cpu")
-            return load_torch_vgg19(params, sd)
+            return load_torch_vgg19(params, load_state_dict(cand))
     return params

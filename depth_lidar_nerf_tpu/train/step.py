@@ -248,7 +248,30 @@ def make_train_step(
                 metrics["inv_loss"] = inv_loss
                 loss = loss + inv_loss * cfg.depth_inverse_lambda * imp
 
-            if feature_on:
+            if feature_on and cfg.feature_loss_type == "lpips":
+                # run_nerf.py:1708-1721: LPIPS distance as the feature loss,
+                # optional spatial-map logging.
+                gt = patch.gt_patch[None]
+                d_fine = models.lpips.apply(vgg_params, gt, acc_rgb[0:1],
+                                            normalize=True)
+                d_coarse = (models.lpips.apply(vgg_params, gt, acc_rgb[1:2],
+                                               normalize=True)
+                            if cfg.N_importance > 0 else None)
+                if cfg.lpips_spatial:
+                    metrics["lpips_spatial"] = jax.lax.stop_gradient(
+                        d_fine[0, ..., 0])
+                    feature_loss = jnp.mean(d_fine)
+                    fl0 = jnp.mean(d_coarse) if d_coarse is not None else 0.0
+                else:
+                    feature_loss = d_fine[0]
+                    fl0 = d_coarse[0] if d_coarse is not None else 0.0
+                if d_coarse is not None:
+                    metrics["feature_loss0"] = fl0
+                    feature_loss = feature_loss + fl0
+                metrics["feature_loss"] = feature_loss
+                loss = loss + feature_loss * cfg.feature_lambda
+
+            if feature_on and cfg.feature_loss_type == "vgg":
                 layer_names = tuple(cfg.vgg_layers or ())
                 weights = cfg.vgg_layer_weights
                 gt = vgg_normalize(patch.gt_patch[None])
@@ -294,7 +317,7 @@ def make_train_step(
         ng_rays = shard_rays(jax.tree.map(lambda x: x[patch.perm[n_grad:]], prays))
         p = jax.lax.stop_gradient(params)
         return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
-                                 rng=rng, tile=4096)
+                                 rng=rng, tile=min(4096, rcfg.render_tile()))
 
     def disc_step(state, gt_patch, fake_patches, rng):
         """Discriminator update on detached patches (run_nerf.py:1779-1816)."""
@@ -374,7 +397,7 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
         gan_on = bool(cfg.gan_loss and i >= cfg.gan_start_iteration)
         smooth_on = bool(cfg.depth_inverse_loss
                          and i % cfg.depth_inverse_loss_every_n == 0)
-        precrop_on = bool(cfg.no_batching and i <= cfg.precrop_iters)
+        precrop_on = bool(cfg.no_batching and i < cfg.precrop_iters)
         fn = get_variant(feature_on, gan_on, smooth_on, precrop_on)
         return fn, (feature_on or gan_on or smooth_on)
 

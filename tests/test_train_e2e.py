@@ -133,6 +133,130 @@ def test_no_batching_precrop(scene_dir, tmp_path):
     assert int(state.step) == 20
 
 
+@pytest.fixture(scope="module")
+def scene_dir_big(tmp_path_factory):
+    """LPIPS(alex) needs >=31-px patches, so a taller scene."""
+    d = tmp_path_factory.mktemp("scene_big")
+    make_scene(str(d), n_images=3, H=36, W=40, focal=36.0, n_depth_points=120)
+    return str(d)
+
+
+def test_lpips_feature_loss_train(scene_dir_big, tmp_path):
+    """--feature_loss_type lpips as the train-time patch loss, with spatial
+    map logging (run_nerf.py:1240-1246, 1708-1721)."""
+    cfg = _tiny_cfg(
+        scene_dir_big, tmp_path, N_iters=10, i_weights=10, i_print=5,
+        feature_loss=True, feature_start_iteration=1, feature_loss_every_n=5,
+        feature_loss_type="lpips", lpips_spatial=True,
+        nH=32, nW=32, gradH=4, gradW=4,
+    )
+    state = train(cfg)
+    assert int(state.step) == 10
+
+
+def test_lpips_feature_loss_has_gradient(scene_dir_big, tmp_path):
+    """The LPIPS patch loss must actually reach the NeRF params."""
+    import jax
+
+    from depth_lidar_nerf_tpu.train.config import render_config_from
+    from depth_lidar_nerf_tpu.train.loop import _make_patch_batch, load_scene
+    from depth_lidar_nerf_tpu.train.state import (
+        build_models, init_train_state, init_vgg_params)
+    from depth_lidar_nerf_tpu.train.step import make_train_step
+    from depth_lidar_nerf_tpu.train.tables import build_rgb_table
+
+    cfg = _tiny_cfg(scene_dir_big, tmp_path, feature_loss=True,
+                    feature_loss_type="lpips", nH=32, nW=32, gradH=4, gradW=4)
+    scene = load_scene(cfg)
+    H, W, focal = scene.hwf
+    rcfg = render_config_from(cfg, 0, scene.near, scene.far)
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+    lp = init_vgg_params(cfg, models, jax.random.key(1))
+    assert lp is not None
+    tbl = build_rgb_table(scene.images, scene.poses, scene.i_train, H, W,
+                          focal, rcfg)
+    step = make_train_step(cfg, rcfg, models, scene.hwf, feature_on=True)
+    patch = _make_patch_batch(cfg, scene, np.random.default_rng(0))
+    # snapshot before the step: the step donates its input state
+    p0 = jax.tree.map(lambda x: np.array(x), state.params)
+    state, metrics = step(state, tbl, None, patch, lp, jax.random.key(2))
+    assert float(metrics["feature_loss"]) > 0.0
+    # params moved
+    d = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(abs(a - np.asarray(b)).sum()),
+                     p0, state.params))
+    assert d > 0.0
+
+
+def test_ft_path_and_no_reload_optimizer(scene_dir, tmp_path):
+    """--ft_path pins a checkpoint; --no_reload_optimizer keeps Adam fresh
+    (run_nerf.py:449-477, 462)."""
+    import glob
+
+    import jax
+    import numpy as np_
+
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=20, i_weights=10,
+                    expname="src")
+    train(cfg)
+    ckpts = sorted(glob.glob(os.path.join(str(tmp_path), "src", "checkpoints",
+                                          "*")))
+    ckpt10 = [c for c in ckpts if os.path.basename(c) == "10"][0]
+
+    # ft_path resumes from step 10 even though step-20 exists.
+    cfg2 = _tiny_cfg(scene_dir, tmp_path, N_iters=25, i_weights=25,
+                     expname="ft", ft_path=ckpt10)
+    state = train(cfg2)
+    assert int(state.step) == 25
+
+    # no_reload_optimizer: Adam moments start at zero after restore.
+    cfg3 = _tiny_cfg(scene_dir, tmp_path, N_iters=11, i_weights=11,
+                     expname="ft2", ft_path=ckpt10, no_reload_optimizer=True)
+    from depth_lidar_nerf_tpu.train.checkpoint import (
+        make_manager, restore_from_path)
+    from depth_lidar_nerf_tpu.train.config import render_config_from
+    from depth_lidar_nerf_tpu.train.state import build_models, init_train_state
+
+    rcfg = render_config_from(cfg3, 0, 2.0, 6.0)
+    models = build_models(cfg3, rcfg)
+    template = init_train_state(cfg3, rcfg, models, jax.random.key(0))
+    restored = restore_from_path(ckpt10, template)
+    mu_norm = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda x: float(np_.abs(x).sum()), restored.opt_state[0].mu))
+    assert mu_norm > 0.0  # the checkpoint really carries optimizer state
+
+
+def test_depth_with_rgb_rejected(scene_dir, tmp_path):
+    cfg = _tiny_cfg(scene_dir, tmp_path, colmap_depth=True, depth_loss=True,
+                    depth_with_rgb=True)
+    with pytest.raises(ValueError, match="depth_with_rgb"):
+        train(cfg)
+
+
+def test_vestigial_flags_warn(scene_dir, tmp_path, capsys):
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=1, i_weights=1, testskip=4,
+                    half_res=True)
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "testskip" in out and "half_res" in out and "vestigial" in out
+
+
+def test_chunk_flag_controls_render_tile():
+    from depth_lidar_nerf_tpu.render import RenderConfig
+
+    rc = RenderConfig(N_samples=64, N_importance=64, chunk=8192)
+    assert rc.render_tile() == 8192
+    # lowering netchunk caps the tile by points-per-apply
+    rc2 = RenderConfig(N_samples=64, N_importance=64, chunk=32768,
+                       netchunk=16384)
+    assert rc2.render_tile() == 16384 // 128
+    # defaults unchanged
+    assert RenderConfig().render_tile() == 32768
+
+
 def test_eval_metrics_cli(scene_dir, tmp_path, capsys):
     import shutil
     from depth_lidar_nerf_tpu.evaluation.eval_metrics import main as eval_main
