@@ -31,12 +31,24 @@ _BLOBS = [  # (center, radius, color)
 _BG = np.array([0.05, 0.05, 0.08])
 
 
-def _trace(ro, rd):
+def _trace(ro, rd, backdrop=False):
     """Analytic sphere tracer: returns rgb [N, 3], depth [N], class [N]."""
     n = ro.shape[0]
     rgb = np.tile(_BG, (n, 1))
     depth = np.full(n, 1e5)
     cls = np.zeros(n, np.int32)  # 0 = background
+    if backdrop:
+        # A textured wall at z=-6 behind the blobs: every ray terminates on
+        # geometry, the structure of outdoor KITTI-360 frames (road/buildings
+        # everywhere, sky stamped with huge depth by the preprocessing).
+        t_wall = (-6.0 - ro[:, 2]) / np.where(np.abs(rd[:, 2]) < 1e-9, 1e-9,
+                                              rd[:, 2])
+        hit_w = t_wall > 0.1
+        p = ro + rd * t_wall[:, None]
+        tex = 0.5 + 0.25 * np.sin(3.0 * p[:, 0]) * np.sin(2.0 * p[:, 1])
+        rgb = np.where(hit_w[:, None],
+                       np.stack([tex, tex * 0.8, tex * 0.6], -1), rgb)
+        depth = np.where(hit_w, t_wall, depth)
     for ci, (c, r, col) in enumerate(_BLOBS):
         oc = ro - c
         b = np.sum(oc * rd, -1)
@@ -59,6 +71,7 @@ def make_scene(
     focal: float = 50.0,
     n_depth_points: int = 300,
     seed: int = 0,
+    backdrop: bool = False,
 ):
     """Write a complete synthetic LLFF scene to ``basedir``."""
     rng = np.random.default_rng(seed)
@@ -77,7 +90,7 @@ def make_scene(
         rd = np.einsum("hwc,rc->hwr", dirs, c2w[:3, :3]).reshape(-1, 3)
         ro = np.broadcast_to(c2w[:3, 3], rd.shape)
 
-        rgb, depth, cls = _trace(ro, rd)
+        rgb, depth, cls = _trace(ro, rd, backdrop=backdrop)
         img = rgb.reshape(H, W, 3)
         images.append(img)
         segs.append(cls.reshape(H, W))

@@ -39,8 +39,17 @@ def raw2outputs(
     white_bkgd: bool = False,
     rng: jax.Array | None = None,
     num_semantic_classes: int = 0,
+    cull_eps: float = 0.0,
 ) -> RayOutputs:
-    """Composite ``raw [N, S, 4 + C]`` along ``z_vals [N, S]`` into ray maps."""
+    """Composite ``raw [N, S, 4 + C]`` along ``z_vals [N, S]`` into ray maps.
+
+    ``cull_eps > 0`` hard-zeroes the weight of every sample whose incoming
+    transmittance is below ``cull_eps`` (a TPU-native addition, no reference
+    counterpart): the per-ray output change is bounded by ``cull_eps`` while
+    the cotangents of all fully-occluded samples become *exactly* zero — the
+    contract the fused kernels' backward-culling relies on to skip those
+    samples' FLOPs without changing any gradient.
+    """
     raw = raw.astype(jnp.float32)
     z_vals = z_vals.astype(jnp.float32)
 
@@ -65,6 +74,8 @@ def raw2outputs(
         axis=-1,
     )[..., :-1]
     weights = alpha * trans
+    if cull_eps > 0.0:
+        weights = jnp.where(trans >= cull_eps, weights, 0.0)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)  # [N, 3]
     depth_map = jnp.sum(weights * z_vals, axis=-1)
@@ -91,6 +102,7 @@ def raw2outputs_t(
     raw_noise_std: float = 0.0,
     white_bkgd: bool = False,
     rng: jax.Array | None = None,
+    cull_eps: float = 0.0,
 ) -> RayOutputs:
     """Channel-major compositing: ``raw_t [4, N, S]`` (rgb 0:3, sigma 3).
 
@@ -120,6 +132,9 @@ def raw2outputs_t(
         jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10],
                         axis=-1), axis=-1)[..., :-1]
     weights = alpha * trans  # [N, S]
+    if cull_eps > 0.0:
+        # See raw2outputs: exact-zero cotangents for occluded samples.
+        weights = jnp.where(trans >= cull_eps, weights, 0.0)
 
     rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T  # [N, 3]
     depth_map = jnp.sum(weights * z_vals, axis=-1)

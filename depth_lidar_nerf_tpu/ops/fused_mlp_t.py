@@ -28,6 +28,7 @@ v4 when `DLNERF_FUSED_V4=1` or cfg requests it, else v3.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from depth_lidar_nerf_tpu.ops.fused_mlp import _OUT, _TILE, supports  # noqa: F401
+
+# Sample-block granularity of backward culling: tiles are
+# (_TILE/_SAMPLE_BLOCK rays) x (_SAMPLE_BLOCK samples); smaller blocks cull
+# tighter suffixes but need more grid steps.
+_SAMPLE_BLOCK = int(os.environ.get("DLNERF_CULL_SAMPLE_BLOCK", 16))
+
+# Mosaic's default 16MB scoped-vmem cap rejects tiles > 2048 points in the
+# recompute backward; v5e has far more physical VMEM, so raise it.
+_VMEM_LIMIT = int(os.environ.get("DLNERF_FUSED_VMEM_MB", 100)) * 1024 * 1024
+
+
+def _cparams():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _dot(a, b):
@@ -145,29 +159,17 @@ def _fwd_kernel(spec, xt_ref, vt_ref, *refs):
     out_ref[:] = out
 
 
-def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
+def _bwd_tile_body(spec, xt, vt, g, ws):
+    """Recompute-forward + weight-grad math for one tile; returns the flat
+    per-tile gradient list (same order as :func:`_pack_params`)."""
     depth, dtype, S, R = spec
-    n_w = _n_ws(depth)
-    w_refs, d_refs = refs[:n_w], refs[n_w:]
-    ws = _unflatten([r[:] for r in w_refs], depth)
     (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr,
      br) = ws
     W = wfs.shape[0]
 
-    g = g_ref[:].astype(jnp.float32)
+    g = g.astype(jnp.float32)
     _, (xb, sp, cp, acts, feat, hv, vb, sv, cv, E) = _forward_tile(
-        spec, xt_ref[:], vt_ref[:], ws)
-
-    i = pl.program_id(0)
-
-    def acc(ref, val):
-        @pl.when(i == 0)
-        def _():
-            ref[:] = val
-
-        @pl.when(i != 0)
-        def _():
-            ref[:] = ref[:] + val
+        spec, xt, vt, ws)
 
     gb = g.astype(dtype)  # [4, T]
     dwr = jax.lax.dot_general(hv, gb, (((0,), (1,)), ((), ())),
@@ -214,10 +216,49 @@ def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
     dw1c = _dot(cp, dh)
     db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
 
-    flat = [dw1x, dw1s, dw1c, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwvv,
+    return [dw1x, dw1s, dw1c, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwvv,
             dwvs, dwvc, dbv, dwr, dbr]
+
+
+def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
+    depth = spec[0]
+    n_w = _n_ws(depth)
+    w_refs, d_refs = refs[:n_w], refs[n_w:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    flat = _bwd_tile_body(spec, xt_ref[:], vt_ref[:], g_ref[:], ws)
+
+    i = pl.program_id(0)
     for ref, val in zip(d_refs, flat):
-        acc(ref, val)
+        @pl.when(i == 0)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(i != 0)
+        def _(ref=ref, val=val):
+            ref[:] = ref[:] + val
+
+
+def _bwd_kernel_culled(spec, nSB, flags_ref, xt_ref, vt_ref, g_ref, *refs):
+    """Backward with per-tile skipping: ``flags_ref`` (scalar-prefetched) is 1
+    for tiles holding at least one live cotangent; dead tiles skip the whole
+    recompute + grad body (exact — their contribution is identically zero)."""
+    del nSB
+    depth = spec[0]
+    n_w = _n_ws(depth)
+    w_refs, d_refs = refs[:n_w], refs[n_w:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for r in d_refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    @pl.when(flags_ref[i] != 0)
+    def _():
+        ws = _unflatten([r[:] for r in w_refs], depth)
+        flat = _bwd_tile_body(spec, xt_ref[:], vt_ref[:], g_ref[:], ws)
+        for ref, val in zip(d_refs, flat):
+            ref[:] = ref[:] + val
 
 
 # --------------------------------------------------------------- packing
@@ -294,7 +335,8 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
 
 def _full_spec(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, lambda i, *_: (0,) * nd,
+                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -303,7 +345,7 @@ def _fused_t(params, xt, vt, spec):
 
 
 def _fwd_impl(params, xt, vt, spec):
-    depth, dtype, S, R, n_p, n_v = spec
+    depth, dtype, S, R, n_p, n_v = spec[:6]
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     return pl.pallas_call(
@@ -317,6 +359,7 @@ def _fwd_impl(params, xt, vt, spec):
         out_specs=pl.BlockSpec((4, _TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
+        compiler_params=_cparams(),
     )(xt, vt, *ws)
 
 
@@ -325,8 +368,10 @@ def _vjp_fwd(params, xt, vt, spec):
 
 
 def _vjp_bwd(spec, res, g):
+    if len(spec) > 6 and spec[6]:
+        return _vjp_bwd_culled(spec, res, g)
     params, xt, vt = res
-    depth, dtype, S, R, n_p, n_v = spec
+    depth, dtype, S, R, n_p, n_v = spec[:6]
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
@@ -342,7 +387,85 @@ def _vjp_bwd(spec, res, g):
         ],
         out_specs=tuple(_full_spec(w.shape) for w in ws),
         out_shape=tuple(d_shapes),
+        compiler_params=_cparams(),
     )(xt, vt, g, *ws)
+    d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
+
+
+def _vjp_bwd_culled(spec, res, g):
+    """Backward with exact transmittance culling.
+
+    Weight gradients are order-invariant sums over points, so the rays can be
+    permuted freely as long as (points, viewdirs, cotangents) move together —
+    no un-permute pass exists. Rays are sorted by their live-cotangent length
+    (``cull_eps``-masked compositing guarantees cotangents past each ray's
+    termination are *exactly* zero), regrouped into (ray-block x sample-block)
+    tiles, and every tile whose cotangents are all zero is skipped in-kernel
+    via a scalar-prefetched flag. Equivalent of the reference CUDA hot path's
+    missing early-termination (run_nerf.py:520-675 evaluates every sample).
+    """
+    params, xt, vt = res
+    depth, dtype, S, R, n_p, n_v = spec[:6]
+    SB = spec[7]
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    N = P // S
+    RB = _TILE // SB
+    nSB = S // SB
+    n_pad = (-N) % RB
+    Nf = N + n_pad
+
+    gch = g.reshape(4, N, S)
+    vr = vt.reshape(3, -1, 128)[:, :, :R].reshape(3, N)
+    xch = xt.reshape(3, N, S)
+    if n_pad:
+        gch = jnp.pad(gch, ((0, 0), (0, n_pad), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, n_pad)))
+        xch = jnp.pad(xch, ((0, 0), (0, n_pad), (0, 0)))
+
+    # Per-ray live length = 1 + last sample with any nonzero cotangent.
+    act = jnp.any(gch != 0.0, axis=0)  # [Nf, S]
+    idx1 = jax.lax.broadcasted_iota(jnp.int32, (Nf, S), 1) + 1
+    lengths = jnp.max(jnp.where(act, idx1, 0), axis=1)  # [Nf] in [0, S]
+    order = jnp.argsort(lengths)
+    lens_s = jnp.take(lengths, order)
+    xs = jnp.take(xch, order, axis=1)
+    gs = jnp.take(gch, order, axis=1)
+    vs = jnp.take(vr, order, axis=1)
+
+    nRB = Nf // RB
+    xb = xs.reshape(3, nRB, RB, nSB, SB).transpose(0, 1, 3, 2, 4).reshape(3, -1)
+    gb = gs.reshape(4, nRB, RB, nSB, SB).transpose(0, 1, 3, 2, 4).reshape(4, -1)
+    vpad = jnp.pad(vs.reshape(3, nRB, RB),
+                   ((0, 0), (0, 0), (0, 128 - RB))).reshape(3, -1)
+    # Sorted ascending, so each ray block's max live length is its last entry.
+    lmax = lens_s.reshape(nRB, RB)[:, -1]
+    sb_start = jnp.arange(nSB, dtype=jnp.int32) * SB
+    flags = (lmax[:, None] > sb_start[None, :]).astype(jnp.int32).reshape(-1)
+
+    kspec = (depth, dtype, SB, RB)
+    d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nRB * nSB,),
+        in_specs=[
+            pl.BlockSpec((3, _TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i, *_: (0, i // nSB),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _TILE), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=tuple(_full_spec(w.shape) for w in ws),
+    )
+    dws = pl.pallas_call(
+        functools.partial(_bwd_kernel_culled, kspec, nSB),
+        grid_spec=grid_spec,
+        out_shape=tuple(d_shapes),
+        compiler_params=_cparams(),
+    )(flags, xb, vpad, gb, *ws)
     d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
     return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
 
@@ -363,11 +486,13 @@ def supports_rays_shape(S: int) -> bool:
 
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
-                          dtype=jnp.bfloat16):
+                          dtype=jnp.bfloat16, cull_bwd=False):
     """v4 entry: rays [N, 3] + z [N, S] -> channel-major raw [4, N, S].
 
     Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
-    ever exists in HBM.
+    ever exists in HBM. With ``cull_bwd`` the backward pass skips tiles whose
+    cotangents are all exactly zero (pair with ``cull_eps``-masked
+    compositing; see :func:`_vjp_bwd_culled`).
     """
     N, S = z_vals.shape
     rays_per_tile = _TILE // S
@@ -390,7 +515,9 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
     vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 128 - rays_per_tile)))
     vT = vT.reshape(3, n_tiles * 128)
 
-    spec = (depth, dtype, S, rays_per_tile, multires, multires_views)
+    sb = min(_SAMPLE_BLOCK, S)
+    cull = bool(cull_bwd) and S % sb == 0 and _TILE // sb <= 128
+    spec = (depth, dtype, S, rays_per_tile, multires, multires_views, cull, sb)
     raw_t = _fused_t(params, ptsT, vT, spec)  # [4, P]
     out = raw_t.reshape(4, n_full, S)
     return out[:, :N] if n_pad else out

@@ -53,6 +53,11 @@ class RenderConfig:
     # is capped so rays*samples stays within it when the user lowers it.
     chunk: int = 1024 * 32
     netchunk: int = 1024 * 64
+    # Transmittance cull threshold (TPU-native, no reference counterpart):
+    # samples with incoming transmittance < cull_eps contribute exactly zero
+    # weight, making their cotangents exactly zero so the fused kernels'
+    # backward skips their FLOPs. 0.0 = strict reference semantics.
+    cull_eps: float = 0.0
 
     def render_tile(self) -> int:
         """Ray-tile size for :func:`render_rays_tiled` honoring both knobs."""
@@ -148,14 +153,15 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
         return raw2outputs_t(
             raw_t, z_vals, rays.directions,
             raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-            rng=noise_rng)
+            rng=noise_rng, cull_eps=cfg.cull_eps)
     pts = (rays.origins[..., None, :]
            + rays.directions[..., None, :] * z_vals[..., :, None])
     raw = query_network(model, params, pts, rays.viewdirs, cfg)
     return raw2outputs(
         raw, z_vals, rays.directions,
         raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-        rng=noise_rng, num_semantic_classes=cfg.num_semantic_classes)
+        rng=noise_rng, num_semantic_classes=cfg.num_semantic_classes,
+        cull_eps=cfg.cull_eps)
 
 
 def render_rays(

@@ -146,6 +146,11 @@ class TrainConfig:
     # +24% train throughput over the XLA path on v5e and ~4x lower activation
     # memory (recompute backward). Unsupported shapes fall back to Flax.
     use_fused_mlp: bool = True
+    # Transmittance cull threshold: hard-zero sample weights once a ray's
+    # transmittance drops below this (output change bounded by cull_eps per
+    # ray; cotangents of occluded samples become exactly zero, letting the
+    # fused backward skip their FLOPs). 0.0 restores strict reference math.
+    cull_eps: float = 1e-4
     profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
     debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)
 
@@ -262,6 +267,7 @@ def render_config_from(cfg: TrainConfig, num_semantic_classes: int,
         use_pallas_sampling=cfg.use_pallas_sampling,
         chunk=cfg.chunk,
         netchunk=cfg.netchunk,
+        cull_eps=cfg.cull_eps,
     )
 
 

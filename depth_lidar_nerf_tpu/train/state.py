@@ -67,7 +67,7 @@ class FusedMLP:
             params, rays.origins, rays.directions, rays.viewdirs, z_vals,
             depth=self.module.depth, width=self.module.width,
             multires=cfg.multires, multires_views=cfg.multires_views,
-            dtype=self.module.dtype)
+            dtype=self.module.dtype, cull_bwd=cfg.cull_eps > 0)
 
 
 class FrozenAlphaMLP:

@@ -112,6 +112,79 @@ def test_fused_v3_matches_flax_f32():
         params, tol=1e-3)
 
 
+def test_fused_v4_culled_backward_matches_uncull():
+    """Backward culling is exact: with per-ray zero-cotangent suffixes (what
+    cull_eps-masked compositing produces), the culled backward's weight grads
+    equal the dense backward's to f32 precision."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(N=8, S=128)
+    kw = dict(depth=4, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32)
+    # per-ray live lengths: suffix cotangents must be exactly zero
+    lengths = jnp.array([0, 16, 32, 48, 64, 96, 128, 128])
+    mask = (jnp.arange(128)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    def loss(p, cull):
+        raw = fused_nerf_apply_rays(p, ro, rd, vd, z, cull_bwd=cull, **kw)
+        return jnp.mean(jnp.sin(raw * mask[None]) ** 2 * mask[None])
+
+    g_dense = jax.grad(lambda p: loss(p, False))(params)
+    g_cull = jax.grad(lambda p: loss(p, True))(params)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g_dense)[0],
+                            jax.tree_util.tree_leaves(g_cull)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / (np.abs(a).mean() + 1e-12)
+        assert err < 1e-4, (jax.tree_util.keystr(path), err)
+
+    # and against the Flax reference too
+    def loss_ref(p):
+        return jnp.mean(
+            jnp.sin(model.apply(p, pe, veb).transpose(2, 0, 1)
+                    * mask[None]) ** 2 * mask[None])
+
+    _grad_compare(loss_ref, lambda p: loss(p, True), params, tol=1e-3)
+
+
+def test_composite_cull_eps_fused_matches_flax():
+    """cull_eps-masked compositing + culled backward on the fused path
+    reproduces the Flax path's loss gradients at FIXED sample positions.
+
+    (render_rays-level equality through sample_pdf is only distributional:
+    f32 reassociation shifts the resampled fine z's, legitimately changing
+    gradients — so the comparison pins z.)
+    """
+    from depth_lidar_nerf_tpu.render.renderer import (
+        RenderConfig, Rays, _composite_from_z)
+    from depth_lidar_nerf_tpu.train.state import FusedMLP
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(N=16)
+    cfg = RenderConfig(N_samples=128, N_importance=0, perturb=False,
+                       raw_noise_std=0.0, ndc=False, near=2.0, far=6.0,
+                       multires=10, multires_views=4, cull_eps=1e-3)
+    rays = Rays(ro, rd, vd, jnp.full((16, 1), 2.0), jnp.full((16, 1), 6.0))
+    fused = FusedMLP(model)
+    # force the fused path on CPU for this test
+    fused.supports_raw = lambda p, c: True
+
+    def loss(p, m):
+        out = _composite_from_z(m, p, rays, z, cfg, None)
+        return (jnp.mean(out.rgb ** 2) + jnp.mean(out.depth ** 2)
+                + jnp.mean(out.acc))
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, model))(params)
+    l_fused, g_fused = jax.value_and_grad(lambda p: loss(p, fused))(params)
+    np.testing.assert_allclose(float(l_ref), float(l_fused), rtol=1e-4)
+    # sanity: the cull mask actually bites at this eps
+    out = _composite_from_z(model, params, rays, z, cfg, None)
+    assert float((out.weights == 0.0).mean()) > 0.05
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g_ref)[0],
+                            jax.tree_util.tree_leaves(g_fused)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.abs(a - b).max() / (np.abs(a).mean() + 1e-12)
+        assert err < 1e-3, (jax.tree_util.keystr(path), err)
+
+
 def test_supports_predicate():
     from depth_lidar_nerf_tpu.ops.fused_mlp import supports
 
