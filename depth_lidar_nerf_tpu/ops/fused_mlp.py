@@ -48,6 +48,15 @@ _OUT = 8  # padded raw output (rgb 0:3, sigma 3)
 _PACK = 128  # packed encoding lanes
 
 
+def interpret_mode() -> bool:
+    """Run the fused kernels through the Pallas interpreter (any backend).
+
+    Read at call time so the multichip dryrun / CPU-mesh tests can flip it
+    after import; on real TPU hardware it stays off.
+    """
+    return os.environ.get("DLNERF_PALLAS_INTERPRET", "0") == "1"
+
+
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -269,6 +278,7 @@ def _fwd_impl(params, packed, depth, e_p, e_v, dtype):
         out_specs=pl.BlockSpec((_TILE, _OUT), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, _OUT), jnp.float32),
+        interpret=interpret_mode(),
     )(packed, *ws)
 
 
@@ -293,6 +303,7 @@ def _vjp_bwd(depth, e_p, e_v, dtype, res, g):
         ],
         out_specs=tuple(_full_spec(w.shape) for w in ws),
         out_shape=tuple(d_shapes),
+        interpret=interpret_mode(),
     )(packed, g, *ws)
     d_params = _unpack_grads(list(dws), params, depth, e_p, e_v)
     # Inputs are training data; cotangents are zero and DCE'd by XLA.
@@ -303,13 +314,28 @@ _fused_packed.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def fused_nerf_apply_raw(params, pts, viewdirs, *, depth, width, multires,
-                         multires_views, dtype=jnp.bfloat16):
+                         multires_views, dtype=jnp.bfloat16, mesh=None,
+                         ray_axis="rays"):
     """Raw-input fast path: ``pts [N, S, 3]``, unit ``viewdirs [N, 3]`` ->
     raw ``[N, S, 4]``.
 
     The positional/view encodings are computed in XLA (f32 sin/cos) and fused
     into one packed [P, 128] bfloat16 write; the kernel does the rest.
+    With a multi-device ``mesh`` the call is shard_mapped over the ray axis
+    (see ``fused_mlp_t.fused_nerf_apply_rays``); needs ``N % mesh.size == 0``.
     """
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P_
+
+        core = functools.partial(
+            fused_nerf_apply_raw, depth=depth, width=width, multires=multires,
+            multires_views=multires_views, dtype=dtype)
+        return jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(P_(), P_(ray_axis), P_(ray_axis)),
+            out_specs=P_(ray_axis),
+            check_vma=False,
+        )(params, pts, viewdirs)
     from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
 
     N, S, _ = pts.shape

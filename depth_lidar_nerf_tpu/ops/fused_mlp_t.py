@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from depth_lidar_nerf_tpu.ops.fused_mlp import _OUT, _TILE, supports  # noqa: F401
+from depth_lidar_nerf_tpu.ops.fused_mlp import (  # noqa: F401
+    _OUT, _TILE, interpret_mode, supports)
 
 # Sample-block granularity of backward culling: tiles are
 # (_TILE/_SAMPLE_BLOCK rays) x (_SAMPLE_BLOCK samples); smaller blocks cull
@@ -360,6 +361,7 @@ def _fwd_impl(params, xt, vt, spec):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
         compiler_params=_cparams(),
+        interpret=interpret_mode(),
     )(xt, vt, *ws)
 
 
@@ -388,6 +390,7 @@ def _vjp_bwd(spec, res, g):
         out_specs=tuple(_full_spec(w.shape) for w in ws),
         out_shape=tuple(d_shapes),
         compiler_params=_cparams(),
+        interpret=interpret_mode(),
     )(xt, vt, g, *ws)
     d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
     return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
@@ -465,6 +468,7 @@ def _vjp_bwd_culled(spec, res, g):
         grid_spec=grid_spec,
         out_shape=tuple(d_shapes),
         compiler_params=_cparams(),
+        interpret=interpret_mode(),
     )(flags, xb, vpad, gb, *ws)
     d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
     return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
@@ -486,14 +490,42 @@ def supports_rays_shape(S: int) -> bool:
 
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
-                          dtype=jnp.bfloat16, cull_bwd=False):
+                          dtype=jnp.bfloat16, cull_bwd=False, mesh=None,
+                          ray_axis="rays"):
     """v4 entry: rays [N, 3] + z [N, S] -> channel-major raw [4, N, S].
 
     Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
     ever exists in HBM. With ``cull_bwd`` the backward pass skips tiles whose
     cotangents are all exactly zero (pair with ``cull_eps``-masked
     compositing; see :func:`_vjp_bwd_culled`).
+
+    With a multi-device ``mesh`` the call is shard_mapped over the ray axis:
+    ``pallas_call`` is opaque to the GSPMD partitioner, so each device runs
+    the kernel on its local ray shard (params replicated; the shard_map
+    transpose psums the per-shard weight gradients over ICI). Requires
+    ``N % mesh.size == 0`` — callers gate on :meth:`FusedMLP.rays_ok`.
     """
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P_
+
+        core = functools.partial(
+            _apply_rays_core, depth=depth, width=width, multires=multires,
+            multires_views=multires_views, dtype=dtype, cull_bwd=cull_bwd)
+        return jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(P_(), P_(ray_axis), P_(ray_axis), P_(ray_axis),
+                      P_(ray_axis)),
+            out_specs=P_(None, ray_axis),
+            check_vma=False,
+        )(params, rays_o, rays_d, viewdirs, z_vals)
+    return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals,
+                            depth=depth, width=width, multires=multires,
+                            multires_views=multires_views, dtype=dtype,
+                            cull_bwd=cull_bwd)
+
+
+def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
+                     width, multires, multires_views, dtype, cull_bwd):
     N, S = z_vals.shape
     rays_per_tile = _TILE // S
     n_pad = (-N) % rays_per_tile

@@ -123,7 +123,9 @@ def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
     if (frozen_sigma is None and hasattr(model, "supports_raw")
             and pts.ndim == 3 and pts.shape[-2] > 0
             and (1024 % pts.shape[-2]) == 0 and viewdirs is not None
-            and model.supports_raw(params, cfg)):
+            and model.supports_raw(params, cfg)
+            and (not hasattr(model, "rays_ok")
+                 or model.rays_ok(pts.shape[0]))):
         return model.apply_raw(params, pts, viewdirs, cfg)
     dtype = getattr(model, "dtype", None) or jnp.float32
     pts_embed = positional_encoding(pts, cfg.multires).astype(dtype)
@@ -148,7 +150,9 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
 
     S = z_vals.shape[-1]
     if (hasattr(model, "apply_rays") and rays.viewdirs is not None
-            and supports_rays_shape(S) and model.supports_raw(params, cfg)):
+            and supports_rays_shape(S) and model.supports_raw(params, cfg)
+            and (not hasattr(model, "rays_ok")
+                 or model.rays_ok(z_vals.shape[0]))):
         raw_t = model.apply_rays(params, rays, z_vals, cfg)
         return raw2outputs_t(
             raw_t, z_vals, rays.directions,

@@ -25,11 +25,22 @@ from depth_lidar_nerf_tpu.train.config import TrainConfig
 
 class FusedMLP:
     """Duck-types ``NeRFMLP`` init/apply, dispatching supported shapes to the
-    fused Pallas kernel (ops/fused_mlp.py) and everything else to Flax."""
+    fused Pallas kernel (ops/fused_mlp.py) and everything else to Flax.
 
-    def __init__(self, module: NeRFMLP):
+    With a multi-device ``mesh`` the kernel entries are shard_mapped over the
+    ray axis (pallas_call is opaque to GSPMD, so the kernel runs per-shard and
+    the weight-gradient psum rides ICI); ray batches not divisible by the mesh
+    fall back to the partitionable Flax path via :meth:`rays_ok`.
+    """
+
+    def __init__(self, module: NeRFMLP, mesh=None):
         self.module = module
         self.dtype = module.dtype
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+
+    def rays_ok(self, n_rays: int) -> bool:
+        """Whether an n-ray batch can be shard_mapped on this mesh."""
+        return self.mesh is None or n_rays % self.mesh.size == 0
 
     def init(self, *args, **kwargs):
         return self.module.init(*args, **kwargs)
@@ -42,7 +53,8 @@ class FusedMLP:
         """Whether the in-kernel-encoding fast path covers this call."""
         from depth_lidar_nerf_tpu.ops import fused_mlp
 
-        if jax.default_backend() not in ("tpu", "axon"):
+        if (jax.default_backend() not in ("tpu", "axon")
+                and not fused_mlp.interpret_mode()):
             return False
         return fused_mlp.supports(
             params, self.module.use_viewdirs,
@@ -57,7 +69,8 @@ class FusedMLP:
         return fused_mlp.fused_nerf_apply_raw(
             params, pts, viewdirs, depth=self.module.depth,
             width=self.module.width, multires=cfg.multires,
-            multires_views=cfg.multires_views, dtype=self.module.dtype)
+            multires_views=cfg.multires_views, dtype=self.module.dtype,
+            mesh=self.mesh)
 
     def apply_rays(self, params, rays, z_vals, cfg):
         """Transposed fast path (v4): rays + per-ray depths -> raw."""
@@ -67,7 +80,8 @@ class FusedMLP:
             params, rays.origins, rays.directions, rays.viewdirs, z_vals,
             depth=self.module.depth, width=self.module.width,
             multires=cfg.multires, multires_views=cfg.multires_views,
-            dtype=self.module.dtype, cull_bwd=cfg.cull_eps > 0)
+            dtype=self.module.dtype, cull_bwd=cfg.cull_eps > 0,
+            mesh=self.mesh)
 
 
 class FrozenAlphaMLP:
@@ -189,17 +203,16 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
             fine = FrozenAlphaMLP(fine, alpha_module, alpha_params)
         return Models(coarse, fine, disc, vgg, lpips_mod)
     if cfg.use_fused_mlp:
+        mesh = None
         if cfg.mesh_shape and _mesh_size(cfg.mesh_shape) > 1:
-            # pallas_call is opaque to the GSPMD partitioner: under a
-            # multi-chip mesh the fused kernel cannot be sharded along the
-            # ray axis yet (round-2 backlog: shard_map-wrapped step). Use the
-            # partitionable Flax path instead of silently replicating.
-            print("use_fused_mlp disabled under a multi-chip mesh "
-                  "(GSPMD cannot partition the Pallas kernel); using the "
-                  "XLA path")
-        else:
-            coarse = FusedMLP(coarse)
-            fine = FusedMLP(fine) if fine is not None else None
+            # Multi-chip: the fused kernels run per-shard under shard_map
+            # (GSPMD cannot partition pallas_call, so the ray axis is split
+            # manually; see FusedMLP / fused_nerf_apply_rays).
+            from depth_lidar_nerf_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.mesh_shape)
+        coarse = FusedMLP(coarse, mesh=mesh)
+        fine = FusedMLP(fine, mesh=mesh) if fine is not None else None
     return Models(coarse, fine, disc, vgg, lpips_mod)
 
 

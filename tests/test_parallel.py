@@ -74,6 +74,69 @@ def test_sharded_step_runs_multiple_iterations():
     assert int(state.step) == 5
 
 
+def test_fused_kernel_sharded_step_matches_single_device(monkeypatch):
+    """The fused Pallas path composes with the 8-device mesh via shard_map.
+
+    Interpreter-mode kernels on the CPU mesh: the sharded fused step must
+    match the single-device fused step (same RNG => same batch) to reduction
+    -order tolerance, and the fused entry must actually have been dispatched.
+    """
+    import depth_lidar_nerf_tpu.ops.fused_mlp_t as fmt
+
+    monkeypatch.setenv("DLNERF_PALLAS_INTERPRET", "1")
+    calls = {"n": 0, "meshed": 0}
+    orig = fmt.fused_nerf_apply_rays
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        if k.get("mesh") is not None and k["mesh"].size > 1:
+            calls["meshed"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fmt, "fused_nerf_apply_rays", counting)
+
+    # Fused-supported topology: width 128, no semantic head, S >= 16.
+    def mk_cfg(mesh_shape):
+        return TrainConfig(
+            N_rand=64, N_samples=16, N_importance=16, netdepth=2,
+            netwidth=128, netdepth_fine=2, netwidth_fine=128,
+            use_viewdirs=True, no_ndc=True, multires=4, multires_views=2,
+            use_fused_mlp=True, mesh_shape=mesh_shape)
+
+    H, W, focal = 12, 12, 10.0
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4)[:3].astype(np.float32)] * 2)
+
+    cfg1 = mk_cfg(None)
+    rcfg = render_config_from(cfg1, 0, near=2.0, far=6.0)
+    models1 = build_models(cfg1, rcfg)
+    state1 = init_train_state(cfg1, rcfg, models1, jax.random.key(0))
+    rgb_t = build_rgb_table(images, poses, np.array([0, 1]), H, W, focal, rcfg)
+    step1 = make_train_step(cfg1, rcfg, models1, (H, W, focal))
+    s1, m1 = step1(state1, rgb_t, None, None, None, jax.random.key(7))
+    assert calls["n"] > 0 and calls["meshed"] == 0
+
+    cfg8 = mk_cfg([8])
+    models8 = build_models(cfg8, rcfg)
+    mesh = make_mesh([8])
+    assert models8.coarse.mesh is not None
+    with mesh:
+        state8 = replicate(mesh, init_train_state(cfg8, rcfg, models8,
+                                                  jax.random.key(0)))
+        rgb_tm = replicate(mesh, rgb_t)
+        step8 = make_train_step(cfg8, rcfg, models8, (H, W, focal), mesh=mesh)
+        s8, m8 = step8(state8, rgb_tm, None, None, None, jax.random.key(7))
+    assert calls["meshed"] > 0, "fused kernel was not dispatched on the mesh"
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_cli_train_with_mesh(tmp_path):
     """Full driver over an 8-virtual-device ray-DP mesh (--mesh_shape)."""
     from depth_lidar_nerf_tpu.data.synthetic import make_scene
