@@ -48,6 +48,10 @@ _SAMPLE_BLOCK = int(os.environ.get("DLNERF_CULL_SAMPLE_BLOCK", 16))
 # recompute backward; v5e has far more physical VMEM, so raise it.
 _VMEM_LIMIT = int(os.environ.get("DLNERF_FUSED_VMEM_MB", 100)) * 1024 * 1024
 
+# Forward-pass tile cap (points per grid step). The forward prefers larger
+# tiles than the backward (see _fwd_impl); actual size via _fwd_tile_size.
+_TILE_FWD = int(os.environ.get("DLNERF_FUSED_TILE_FWD", 8192))
+
 
 def _cparams():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
@@ -88,15 +92,18 @@ def _freq_spread(n_freq: int):
 
 
 def _encode_t(xt, n_freq, dtype):
-    """xt [4, M] f32 -> (x bf16 [4, M], sinT [3n, M], cosT [3n, M]).
+    """xt [3, M] f32 -> stacked encoding [3 + 6n, M] (x | sin | cos rows).
 
-    Phases are exact: hi/lo bf16 split + power-of-two octave matmul.
+    Phases are exact: hi/lo bf16 split + power-of-two octave matmul. One
+    stacked output feeds ONE first-layer matmul (three split matmuls each
+    paid an MXU pipeline fill for a tiny K).
     """
     F = _freq_spread(n_freq).astype(dtype)  # entries are 0 or 2^f (exact)
     hi = xt.astype(dtype)
     lo = (xt - hi.astype(jnp.float32)).astype(dtype)
     xf = _dot_c0(F, hi) + _dot_c0(F, lo)  # [3n, M] f32, exact phases
-    return hi, jnp.sin(xf).astype(dtype), jnp.cos(xf).astype(dtype)
+    return jnp.concatenate(
+        [hi, jnp.sin(xf).astype(dtype), jnp.cos(xf).astype(dtype)], axis=0)
 
 
 def _expand_matrix(R, S, dtype):
@@ -107,29 +114,31 @@ def _expand_matrix(R, S, dtype):
 
 
 def _unflatten(flat, depth):
-    (w1x, w1s, w1c, b1) = flat[:4]
-    tw = list(flat[4:4 + depth - 1])
-    tb = list(flat[4 + depth - 1:4 + 2 * (depth - 1)])
-    (wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr, br) = flat[
-        4 + 2 * (depth - 1):]
-    return (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv,
-            wr, br)
+    (w1, b1) = flat[:2]
+    tw = list(flat[2:2 + depth - 1])
+    tb = list(flat[2 + depth - 1:2 + 2 * (depth - 1)])
+    (wfs, bfs, wsig, wvf, wve, bv, wr, br) = flat[2 + 2 * (depth - 1):]
+    return (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br)
 
 
 def _n_ws(depth):
-    return 4 + 2 * (depth - 1) + 10
+    return 2 + 2 * (depth - 1) + 8
 
 
 def _forward_tile(spec, xt, vt, ws):
+    """One tile of the fused forward.
+
+    The positional/view encodings feed ONE stacked first-layer matmul each
+    (the previous x/sin/cos split paid three MXU pipeline fills for tiny-K
+    operands). Accumulators stay f32 — Mosaic's tpu.matmul requires a 32-bit
+    acc — with one relu+cast VPU pass per layer.
+    """
     depth, dtype, S, R = spec
-    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr,
-     br) = ws
+    (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
     W = wfs.shape[0]
 
-    xb, sp, cp = _encode_t(xt, (w1s.shape[0]) // 3, dtype)
-    h = jnp.maximum(
-        _dot_c0(xb, w1x) + _dot_c0(sp, w1s) + _dot_c0(cp, w1c) + b1,
-        0.0).astype(dtype)
+    enc_x = _encode_t(xt, (w1.shape[0] - 3) // 6, dtype)  # [3 + 6n_p, T]
+    h = jnp.maximum(_dot_c0(enc_x, w1) + b1, 0.0).astype(dtype)
     acts = [h]
     for i in range(depth - 1):
         h = jnp.maximum(_dot(h, tw[i]) + tb[i], 0.0).astype(dtype)
@@ -140,17 +149,17 @@ def _forward_tile(spec, xt, vt, ws):
     sigT = jax.lax.dot_general(wsig, h, (((0,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
-    vb, sv, cv = _encode_t(vt[:, :R], (wvs.shape[0]) // 3, dtype)
-    hv_ray = (_dot_c0(vb, wvv) + _dot_c0(sv, wvs)
-              + _dot_c0(cv, wvc)).astype(dtype)  # [R, W/2]
+    enc_v = _encode_t(vt[:, :R], (wve.shape[0] - 3) // 6, dtype)
+    hv_ray = _dot_c0(enc_v, wve).astype(dtype)  # [R, W/2]
     E = _expand_matrix(R, S, dtype)
-    hv = jnp.maximum(_dot(feat, wvf) + _dot(E, hv_ray) + bv, 0.0).astype(dtype)
+    hv = jnp.maximum(_dot(feat, wvf) + _dot(E, hv_ray) + bv,
+                     0.0).astype(dtype)
 
     # transposed rgb head + bias: out [4, T] channel-major
     rgbT = jax.lax.dot_general(wr, hv, (((0,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     out = rgbT + sigT + br
-    return out, (xb, sp, cp, acts, feat, hv, vb, sv, cv, E)
+    return out, (enc_x, acts, feat, hv, enc_v, E)
 
 
 def _fwd_kernel(spec, xt_ref, vt_ref, *refs):
@@ -164,13 +173,11 @@ def _bwd_tile_body(spec, xt, vt, g, ws):
     """Recompute-forward + weight-grad math for one tile; returns the flat
     per-tile gradient list (same order as :func:`_pack_params`)."""
     depth, dtype, S, R = spec
-    (w1x, w1s, w1c, b1, tw, tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc, bv, wr,
-     br) = ws
+    (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
     W = wfs.shape[0]
 
     g = g.astype(jnp.float32)
-    _, (xb, sp, cp, acts, feat, hv, vb, sv, cv, E) = _forward_tile(
-        spec, xt, vt, ws)
+    _, (enc_x, acts, feat, hv, enc_v, E) = _forward_tile(spec, xt, vt, ws)
 
     gb = g.astype(dtype)  # [4, T]
     dwr = jax.lax.dot_general(hv, gb, (((0,), (1,)), ((), ())),
@@ -187,9 +194,7 @@ def _bwd_tile_body(spec, xt, vt, g, ws):
     dhv_ray = jax.lax.dot_general(E, dhv, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(dtype)  # [R, W/2]
-    dwvv = _dot(vb, dhv_ray)   # [3, W/2]
-    dwvs = _dot(sv, dhv_ray)
-    dwvc = _dot(cv, dhv_ray)
+    dwve = _dot(enc_v, dhv_ray)  # [3 + 6n_v, W/2]
 
     dfeat = _dot_b_t(dhv, wvf).astype(dtype)
     h_last = acts[-1]
@@ -212,13 +217,11 @@ def _bwd_tile_body(spec, xt, vt, g, ws):
         dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
         dh = _dot_b_t(dh, tw[li - 1])
     dh = jnp.where(acts[0].astype(jnp.float32) > 0, dh, 0.0).astype(dtype)
-    dw1x = _dot(xb, dh)  # [4, W]
-    dw1s = _dot(sp, dh)  # [3n, W]
-    dw1c = _dot(cp, dh)
+    dw1 = _dot(enc_x, dh)  # [3 + 6n_p, W]
     db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
 
-    return [dw1x, dw1s, dw1c, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwvv,
-            dwvs, dwvc, dbv, dwr, dbr]
+    return [dw1, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
+            dbr]
 
 
 def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
@@ -268,10 +271,8 @@ def _pack_params(params, depth, n_p, n_v, dtype):
     p = params["params"] if "params" in params else params
     W = p["trunk_0"]["kernel"].shape[1]
 
+    # Kernel row order [x | sin | cos]: one stacked first-layer matmul.
     w1 = p["trunk_0"]["kernel"].astype(dtype)[_enc_perm(n_p).argsort()]
-    w1x = w1[:3]
-    w1s = w1[3:3 + 3 * n_p]
-    w1c = w1[3 + 3 * n_p:]
     b1 = p["trunk_0"]["bias"].astype(jnp.float32)[None]
 
     tw = [p[f"trunk_{i}"]["kernel"].astype(dtype) for i in range(1, depth)]
@@ -285,35 +286,30 @@ def _pack_params(params, depth, n_p, n_v, dtype):
 
     wv = p["views_0"]["kernel"].astype(dtype)
     wvf = wv[:W]
-    wv_enc = wv[W:][_enc_perm(n_v).argsort()]
-    wvv = wv_enc[:3]
-    wvs = wv_enc[3:3 + 3 * n_v]
-    wvc = wv_enc[3 + 3 * n_v:]
+    wve = wv[W:][_enc_perm(n_v).argsort()]
     bv = p["views_0"]["bias"].astype(jnp.float32)[None]
 
     wr = jnp.pad(p["rgb"]["kernel"].astype(dtype), ((0, 0), (0, 1)))  # [128, 4]
     br = jnp.zeros((4, 1), jnp.float32)
     br = br.at[:3, 0].set(p["rgb"]["bias"].astype(jnp.float32))
     br = br.at[3, 0].set(p["sigma"]["bias"].astype(jnp.float32)[0])
-    return [w1x, w1s, w1c, b1, *tw, *tb, wfs, bfs, wsig, wvf, wvv, wvs, wvc,
-            bv, wr, br]
+    return [w1, b1, *tw, *tb, wfs, bfs, wsig, wvf, wve, bv, wr, br]
 
 
 def _unpack_grads(dws, params, depth, n_p, n_v):
     p = params["params"] if "params" in params else params
-    (dw1x, dw1s, dw1c, db1) = dws[:4]
-    dtw = dws[4:4 + depth - 1]
-    dtb = dws[4 + depth - 1:4 + 2 * (depth - 1)]
-    (dwfs, dbfs, dwsig, dwvf, dwvv, dwvs, dwvc, dbv, dwr, dbr) = dws[
-        4 + 2 * (depth - 1):]
+    (dw1, db1) = dws[:2]
+    dtw = dws[2:2 + depth - 1]
+    dtb = dws[2 + depth - 1:2 + 2 * (depth - 1)]
+    (dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr, dbr) = dws[
+        2 + 2 * (depth - 1):]
     W = p["trunk_0"]["kernel"].shape[1]
 
     def cl(val, ref):
         return val.astype(ref.dtype)
 
     out = {}
-    w1_kernel = jnp.concatenate([dw1x, dw1s, dw1c], axis=0)
-    out["trunk_0"] = {"kernel": cl(w1_kernel[_enc_perm(n_p)],
+    out["trunk_0"] = {"kernel": cl(dw1[_enc_perm(n_p)],
                                    p["trunk_0"]["kernel"]),
                       "bias": cl(db1[0], p["trunk_0"]["bias"])}
     for i in range(1, depth):
@@ -324,9 +320,8 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
                       "bias": cl(dbfs[0], p["feature"]["bias"])}
     out["sigma"] = {"kernel": cl(dwsig[:, 3:4], p["sigma"]["kernel"]),
                     "bias": cl(dbr[3], p["sigma"]["bias"])}
-    v_kernel = jnp.concatenate([dwvv, dwvs, dwvc], axis=0)
     out["views_0"] = {
-        "kernel": cl(jnp.concatenate([dwvf, v_kernel[_enc_perm(n_v)]], axis=0),
+        "kernel": cl(jnp.concatenate([dwvf, dwve[_enc_perm(n_v)]], axis=0),
                      p["views_0"]["kernel"]),
         "bias": cl(dbv[0], p["views_0"]["bias"])}
     out["rgb"] = {"kernel": cl(dwr[:, :3], p["rgb"]["kernel"]),
@@ -340,45 +335,54 @@ def _full_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _fused_t(params, xt, vt, spec):
-    return _fwd_impl(params, xt, vt, spec)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_t(params, xt, vt_f, vt_b, spec):
+    return _fwd_impl(params, xt, vt_f, spec)
 
 
-def _fwd_impl(params, xt, vt, spec):
-    depth, dtype, S, R, n_p, n_v = spec[:6]
+def _fwd_impl(params, xt, vt_f, spec):
+    """Forward pallas_call on the (large) forward tile.
+
+    The forward runs on ``tile_fwd`` (default 8192 points: fewer grid steps
+    amortize the per-tile weight loads and encode overhead, measured ~10%
+    faster than 2048) while both backwards keep the 2048-point tile that the
+    recompute's VMEM footprint and the culling granularity want — hence the
+    two viewdir layouts ``vt_f``/``vt_b``.
+    """
+    depth, dtype, S, tile_f, n_p, n_v = spec[:6]
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, (depth, dtype, S, R)),
-        grid=(P // _TILE,),
+        functools.partial(_fwd_kernel, (depth, dtype, S, tile_f // S)),
+        grid=(P // tile_f,),
         in_specs=[
-            pl.BlockSpec((3, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
         ],
-        out_specs=pl.BlockSpec((4, _TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((4, tile_f), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
         compiler_params=_cparams(),
         interpret=interpret_mode(),
-    )(xt, vt, *ws)
+    )(xt, vt_f, *ws)
 
 
-def _vjp_fwd(params, xt, vt, spec):
-    return _fwd_impl(params, xt, vt, spec), (params, xt, vt)
+def _vjp_fwd(params, xt, vt_f, vt_b, spec):
+    return _fwd_impl(params, xt, vt_f, spec), (params, xt, vt_b)
 
 
 def _vjp_bwd(spec, res, g):
     if len(spec) > 6 and spec[6]:
         return _vjp_bwd_culled(spec, res, g)
     params, xt, vt = res
-    depth, dtype, S, R, n_p, n_v = spec[:6]
+    depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     dws = pl.pallas_call(
-        functools.partial(_bwd_kernel, (depth, dtype, S, R)),
+        functools.partial(_bwd_kernel, (depth, dtype, S, _TILE // S)),
         grid=(P // _TILE,),
         in_specs=[
             pl.BlockSpec((3, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -393,7 +397,9 @@ def _vjp_bwd(spec, res, g):
         interpret=interpret_mode(),
     )(xt, vt, g, *ws)
     d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
-    return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
+    return (d_params, jnp.zeros_like(xt),
+            jnp.zeros((3, (P // _tile_f) * 128), xt.dtype),
+            jnp.zeros_like(vt))
 
 
 def _vjp_bwd_culled(spec, res, g):
@@ -409,7 +415,7 @@ def _vjp_bwd_culled(spec, res, g):
     missing early-termination (run_nerf.py:520-675 evaluates every sample).
     """
     params, xt, vt = res
-    depth, dtype, S, R, n_p, n_v = spec[:6]
+    depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
     SB = spec[7]
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
@@ -420,7 +426,7 @@ def _vjp_bwd_culled(spec, res, g):
     Nf = N + n_pad
 
     gch = g.reshape(4, N, S)
-    vr = vt.reshape(3, -1, 128)[:, :, :R].reshape(3, N)
+    vr = vt.reshape(3, -1, 128)[:, :, :_TILE // S].reshape(3, N)
     xch = xt.reshape(3, N, S)
     if n_pad:
         gch = jnp.pad(gch, ((0, 0), (0, n_pad), (0, 0)))
@@ -471,7 +477,9 @@ def _vjp_bwd_culled(spec, res, g):
         interpret=interpret_mode(),
     )(flags, xb, vpad, gb, *ws)
     d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
-    return d_params, jnp.zeros_like(xt), jnp.zeros_like(vt)
+    return (d_params, jnp.zeros_like(xt),
+            jnp.zeros((3, (P // _tile_f) * 128), xt.dtype),
+            jnp.zeros_like(vt))
 
 
 _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
@@ -524,11 +532,28 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                             cull_bwd=cull_bwd)
 
 
+def _fwd_tile_size(S: int) -> int:
+    """Forward tile: as large as the [3, 128] viewdir block allows, a
+    multiple of the backward tile, capped by DLNERF_FUSED_TILE_FWD."""
+    cap = min(_TILE_FWD, 128 * S)
+    return max(_TILE, (cap // _TILE) * _TILE)
+
+
+def _build_vt(viewdirs_t, n_full, S, tile):
+    """Per-tile viewdir layout: [3, n_tiles, R] lane-padded to 128."""
+    R = tile // S
+    n_tiles = n_full * S // tile
+    v = viewdirs_t.reshape(3, n_tiles, R)
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 128 - R)))
+    return v.reshape(3, n_tiles * 128)
+
+
 def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                      width, multires, multires_views, dtype, cull_bwd):
     N, S = z_vals.shape
-    rays_per_tile = _TILE // S
-    n_pad = (-N) % rays_per_tile
+    tile_f = _fwd_tile_size(S)
+    rays_per_ftile = tile_f // S
+    n_pad = (-N) % rays_per_ftile
     n_full = N + n_pad
     if n_pad:
         rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
@@ -540,16 +565,14 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
     ot = rays_o.astype(jnp.float32).T[:, :, None]
     dt_ = rays_d.astype(jnp.float32).T[:, :, None]
     ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
-    # Views per tile, padded to the 128-lane block requirement:
-    # [3, n_tiles, R] -> [3, n_tiles, 128] -> [3, n_tiles * 128].
-    n_tiles = n_full * S // _TILE
-    vT = viewdirs.astype(jnp.float32).T.reshape(3, n_tiles, rays_per_tile)
-    vT = jnp.pad(vT, ((0, 0), (0, 0), (0, 128 - rays_per_tile)))
-    vT = vT.reshape(3, n_tiles * 128)
+    # Viewdir layouts for the forward (tile_f) and backward (_TILE) grids.
+    vdT = viewdirs.astype(jnp.float32).T
+    vt_f = _build_vt(vdT, n_full, S, tile_f)
+    vt_b = vt_f if tile_f == _TILE else _build_vt(vdT, n_full, S, _TILE)
 
     sb = min(_SAMPLE_BLOCK, S)
     cull = bool(cull_bwd) and S % sb == 0 and _TILE // sb <= 128
-    spec = (depth, dtype, S, rays_per_tile, multires, multires_views, cull, sb)
-    raw_t = _fused_t(params, ptsT, vT, spec)  # [4, P]
+    spec = (depth, dtype, S, tile_f, multires, multires_views, cull, sb)
+    raw_t = _fused_t(params, ptsT, vt_f, vt_b, spec)  # [4, P]
     out = raw_t.reshape(4, n_full, S)
     return out[:, :N] if n_pad else out
