@@ -22,6 +22,12 @@ def view_matrix(forward, up, position):
     return np.stack([x, y, z, position], axis=1)
 
 
+def world_to_camera(pts, c2w):
+    """World points [..., 3] into the camera frame: R^T (p - t)
+    (``ptstocam``, load_llff.py:147-149)."""
+    return (pts - c2w[:3, 3]) @ c2w[:3, :3]
+
+
 def average_pose(poses):
     """Mean camera: mean center, summed z/up axes (load_llff.py:151-160).
 
