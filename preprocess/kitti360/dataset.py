@@ -44,6 +44,9 @@ class Kitti360Dataset:
         self.image_dir = os.path.join(kitti360_path, "data_2d_raw",
                                       self.sequence, f"image_{cam_id:02d}",
                                       "data_rect")
+        self.oxts_dir = os.path.join(kitti360_path, "data_poses_oxts",
+                                     "data_poses", self.sequence, "oxts",
+                                     "data")
         calib = os.path.join(kitti360_path, "calibration")
         self.cam_to_velo_file = os.path.join(calib, "calib_cam_to_velo.txt")
         self.cam_to_pose_file = os.path.join(calib, "calib_cam_to_pose.txt")
@@ -62,6 +65,10 @@ class Kitti360Dataset:
         return pcd
 
     def cam2world(self, frame: int) -> np.ndarray:
+        if not os.path.exists(self.cam0_to_world_file):
+            # Raw-OXTS fallback: reconstruct the pose from the GPS/IMU
+            # record when the devkit's cam0_to_world.txt is absent.
+            return self.cam2world_from_oxts(frame)
         arr = np.atleast_2d(np.loadtxt(self.cam0_to_world_file))
         frames = arr[:, 0].astype(int)
         poses = arr[:, 1:].reshape(-1, 4, 4)
@@ -69,6 +76,22 @@ class Kitti360Dataset:
         if len(idx) == 0:
             raise KeyError(f"frame {frame} has no cam{self.cam_id}_to_world pose")
         return poses[idx[0]]
+
+    def oxts_pose(self, frame: int) -> np.ndarray:
+        """IMU/GPS pose of one frame from its raw OXTS record
+        (``convertOxtsToPose``, Kitti360Dataset.py:386-456)."""
+        path = os.path.join(self.oxts_dir, f"{frame:010d}.txt")
+        return convert_oxts_to_pose(np.loadtxt(path))[0]
+
+    def cam2world_from_oxts(self, frame: int) -> np.ndarray:
+        """cam->world from the raw OXTS chain: IMU pose composed with the
+        cam-to-IMU extrinsics and the rectifying rotation (the devkit's
+        ``cam2world = pose @ camToPose @ inv(R_rect)`` for perspective
+        cameras)."""
+        cam_to_pose = load_calibration_camera_to_pose(self.cam_to_pose_file)
+        key = f"image_{self.cam_id:02d}"
+        return (self.oxts_pose(frame) @ cam_to_pose[key]
+                @ np.linalg.inv(self.camera.R_rect))
 
     # ------------------------------------------------------ transform chain
 
@@ -166,6 +189,48 @@ def mercator_to_latlon(mx, my, scale):
     lon = mx * 180.0 / (scale * np.pi * EARTH_RADIUS)
     lat = 360.0 / np.pi * np.arctan(np.exp(my / (scale * EARTH_RADIUS))) - 90.0
     return lat, lon
+
+
+# Fixed Mercator origin used by the whole dataset: a lake in Karlsruhe
+# (Kitti360Dataset.py:404-411).
+KARLSRUHE_ORIGIN = (48.9843445, 8.4295857)
+
+
+def oxts_rotation(roll: float, pitch: float, heading: float) -> np.ndarray:
+    """OXTS RT3000 body->nav rotation R = Rz(heading) Ry(pitch) Rx(roll)
+    (Kitti360Dataset.py:427-437; OXTS manual page 71/92)."""
+    cx, sx = np.cos(roll), np.sin(roll)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cz, sz = np.cos(heading), np.sin(heading)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def convert_oxts_to_pose(oxts, origin_latlon=KARLSRUHE_ORIGIN) -> np.ndarray:
+    """Raw OXTS records -> metric 4x4 poses, frame-postprocessed.
+
+    ``oxts`` is one record ``[>=6]`` or a batch ``[N, >=6]`` with columns
+    (lat, lon, alt, roll, pitch, heading, ...). The end-to-end chain of
+    ``convertOxtsToPose`` (Kitti360Dataset.py:386-456): Mercator projection
+    at the fixed origin's scale, OXTS Euler rotation, origin-relative
+    translation, then the x=forward,y=right,z=down -> x=down,y=right,
+    z=backwards frame conversion of :func:`postprocess_poses`.
+    """
+    records = np.atleast_2d(np.asarray(oxts, np.float64))
+    scale = lat_to_scale(origin_latlon[0])
+    ox, oy = latlon_to_mercator(origin_latlon[0], origin_latlon[1], scale)
+    origin = np.array([ox, oy, 0.0])
+
+    poses = []
+    for r in records:
+        tx, ty = latlon_to_mercator(r[0], r[1], scale)
+        t = np.array([tx, ty, r[2]]) - origin
+        R = oxts_rotation(r[3], r[4], r[5])
+        poses.append(np.vstack([np.hstack([R, t[:, None]]),
+                                [0.0, 0.0, 0.0, 1.0]]))
+    return np.stack([np.asarray(p) for p in postprocess_poses(poses)])
 
 
 def postprocess_poses(poses):

@@ -167,3 +167,80 @@ def test_mercator_roundtrip():
     mx, my = latlon_to_mercator(lat, lon, scale)
     lat2, lon2 = mercator_to_latlon(mx, my, scale)
     assert abs(lat - lat2) < 1e-9 and abs(lon - lon2) < 1e-9
+
+
+def test_convert_oxts_to_pose_matches_reference(rng_np):
+    """Differential: the reference's own convertOxtsToPose loop
+    (Kitti360Dataset.py:386-456) rebuilt on its preprocess_utils.py (pure
+    numpy, imported directly) vs convert_oxts_to_pose on random records."""
+    import importlib.util
+
+    path = "/root/reference/preprocess/KITTI360/preprocess_utils.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not mounted")
+    spec = importlib.util.spec_from_file_location("ref_preproc_utils", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from preprocess.kitti360.dataset import KARLSRUHE_ORIGIN, convert_oxts_to_pose
+
+    records = np.stack([
+        np.concatenate([
+            [KARLSRUHE_ORIGIN[0] + rng_np.uniform(-0.01, 0.01),
+             KARLSRUHE_ORIGIN[1] + rng_np.uniform(-0.01, 0.01),
+             rng_np.uniform(100, 130)],
+            rng_np.uniform(-np.pi, np.pi, 3),
+            rng_np.uniform(-1, 1, 24),  # velocity/accel tail (ignored)
+        ]) for _ in range(5)
+    ])
+
+    # The reference's loop, verbatim semantics, on ITS helper functions.
+    scale = ref.latToScale(KARLSRUHE_ORIGIN[0])
+    ox, oy = ref.latlonToMercator(KARLSRUHE_ORIGIN[0], KARLSRUHE_ORIGIN[1],
+                                  scale)
+    origin = np.array([ox, oy, 0])
+    want = []
+    for r in records:
+        tx, ty = ref.latlonToMercator(r[0], r[1], scale)
+        t = np.array([tx, ty, r[2]]) - origin
+        rx, ry, rz = r[3], r[4], r[5]
+        Rx = np.array([[1, 0, 0], [0, np.cos(rx), -np.sin(rx)],
+                       [0, np.sin(rx), np.cos(rx)]])
+        Ry = np.array([[np.cos(ry), 0, np.sin(ry)], [0, 1, 0],
+                       [-np.sin(ry), 0, np.cos(ry)]])
+        Rz = np.array([[np.cos(rz), -np.sin(rz), 0],
+                       [np.sin(rz), np.cos(rz), 0], [0, 0, 1]])
+        want.append(np.vstack([np.hstack([Rz @ Ry @ Rx, t.reshape(3, 1)]),
+                               [0, 0, 0, 1]]))
+    want = np.stack(ref.postprocessPoses(want))
+
+    got = convert_oxts_to_pose(records)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+
+    # Single-record convenience shape.
+    one = convert_oxts_to_pose(records[0])
+    np.testing.assert_allclose(one[0], want[0], rtol=1e-12, atol=1e-9)
+
+
+def test_cam2world_from_oxts_fallback(kitti_root):
+    """cam2world falls back to the raw-OXTS chain when cam0_to_world.txt is
+    absent; with identity calibration the camera pose equals the IMU pose."""
+    from preprocess.kitti360.dataset import (
+        KARLSRUHE_ORIGIN, Kitti360Dataset, convert_oxts_to_pose)
+
+    ds = Kitti360Dataset(seq=0, cam_id=0, kitti360_path=kitti_root)
+    os.makedirs(ds.oxts_dir, exist_ok=True)
+    rec = np.concatenate([
+        [KARLSRUHE_ORIGIN[0] + 1e-4, KARLSRUHE_ORIGIN[1] - 2e-4, 115.0],
+        [0.01, -0.02, 0.8], np.zeros(24)])
+    np.savetxt(os.path.join(ds.oxts_dir, "0000000007.txt"), rec[None])
+
+    want_imu = convert_oxts_to_pose(rec)[0]
+    np.testing.assert_allclose(ds.oxts_pose(7), want_imu, rtol=1e-9)
+    # Identity cam_to_pose + identity R_rect => cam2world == IMU pose.
+    np.testing.assert_allclose(ds.cam2world_from_oxts(7), want_imu,
+                               rtol=1e-9, atol=1e-12)
+
+    ds.cam0_to_world_file = os.path.join(kitti_root, "missing.txt")
+    np.testing.assert_allclose(ds.cam2world(7), want_imu, rtol=1e-9,
+                               atol=1e-12)
