@@ -173,3 +173,88 @@ def test_ray_dataset_epochs(rng_np):
         assert len(batch) == len(labels)
         seen.append(len(batch))
     assert sum(seen) == 100  # full epoch coverage, no replacement
+
+
+def _random_model(rng):
+    from depth_lidar_nerf_tpu.data import colmap_model as cm
+
+    cams = {1: cm.Camera(1, 1, 640, 480,
+                         np.array([520.0, 521.5, 320.0, 240.25])),
+            3: cm.Camera(3, 0, 100, 80, np.array([90.0, 50.0, 40.0]))}
+    images = {}
+    for iid in (2, 5):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        npts = int(rng.integers(0, 6))
+        images[iid] = cm.Image(
+            iid, q, rng.normal(size=3), 1, f"im_{iid:03d}.png",
+            rng.uniform(0, 600, (npts, 2)),
+            rng.integers(-1, 50, npts).astype(np.int64))
+    points = {}
+    for pid in (7, 11, 13):
+        tlen = int(rng.integers(1, 4))
+        points[pid] = cm.Point3D(
+            pid, rng.normal(size=3), rng.integers(0, 256, 3),
+            float(rng.uniform(0, 2)),
+            rng.integers(1, 6, tlen).astype(np.int32),
+            rng.integers(0, 9, tlen).astype(np.int32))
+    return cams, images, points
+
+
+def _assert_models_equal(a, b):
+    cams_a, ims_a, pts_a = a
+    cams_b, ims_b, pts_b = b
+    assert set(cams_a) == set(cams_b)
+    for cid in cams_a:
+        x, y = cams_a[cid], cams_b[cid]
+        assert (x.model, x.width, x.height) == (y.model, y.width, y.height)
+        np.testing.assert_array_equal(x.params, y.params)
+    assert set(ims_a) == set(ims_b)
+    for iid in ims_a:
+        x, y = ims_a[iid], ims_b[iid]
+        np.testing.assert_array_equal(x.qvec, y.qvec)
+        np.testing.assert_array_equal(x.tvec, y.tvec)
+        assert (x.camera_id, x.name) == (y.camera_id, y.name)
+        np.testing.assert_array_equal(x.xys, y.xys)
+        np.testing.assert_array_equal(x.point3D_ids, y.point3D_ids)
+    assert set(pts_a) == set(pts_b)
+    for pid in pts_a:
+        x, y = pts_a[pid], pts_b[pid]
+        np.testing.assert_array_equal(x.xyz, y.xyz)
+        np.testing.assert_array_equal(x.rgb, y.rgb)
+        assert x.error == y.error
+        np.testing.assert_array_equal(x.image_ids, y.image_ids)
+        np.testing.assert_array_equal(x.point2D_idxs, y.point2D_idxs)
+
+
+@pytest.mark.parametrize("ext", [".bin", ".txt"])
+def test_colmap_model_roundtrip(tmp_path, rng_np, ext):
+    """write_model -> read_model is lossless in both encodings (the role of
+    the reference's read_write_model.py writers, colmapUtils:202-478)."""
+    from depth_lidar_nerf_tpu.data import colmap_model as cm
+
+    model = _random_model(rng_np)
+    d = str(tmp_path / "model")
+    cm.write_model(*model, d, ext=ext)
+    _assert_models_equal(model, cm.read_model(d, ext=ext))
+
+
+def test_colmap_cross_encoding(tmp_path, rng_np):
+    """bin-written and txt-written models read back identically."""
+    from depth_lidar_nerf_tpu.data import colmap_model as cm
+
+    model = _random_model(rng_np)
+    db, dt = str(tmp_path / "b"), str(tmp_path / "t")
+    cm.write_model(*model, db, ext=".bin")
+    cm.write_model(*model, dt, ext=".txt")
+    _assert_models_equal(cm.read_model(db, ".bin"), cm.read_model(dt, ".txt"))
+
+
+def test_rotmat_qvec_roundtrip(rng_np):
+    from depth_lidar_nerf_tpu.data.colmap_model import qvec2rotmat, rotmat2qvec
+
+    for _ in range(10):
+        q = rng_np.normal(size=4)
+        q /= np.linalg.norm(q)
+        q *= np.sign(q[0] + (q[0] == 0))
+        np.testing.assert_allclose(rotmat2qvec(qvec2rotmat(q)), q, atol=1e-10)
