@@ -94,6 +94,18 @@ def raw2outputs(
     return RayOutputs(rgb_map, disp_map, acc_map, weights, depth_map, semantic)
 
 
+def composit_dists(z_vals: jnp.ndarray, rays_d: jnp.ndarray) -> jnp.ndarray:
+    """The compositor's per-sample distance terms ``dists * |rays_d|`` —
+    shared with the fused kernels' in-kernel transmittance tracking so the
+    forward cull uses bit-identical alpha math."""
+    z_vals = z_vals.astype(jnp.float32)
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)],
+                            axis=-1)
+    return dists * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
+                                   keepdims=True)
+
+
 def raw2outputs_t(
     raw_t: jnp.ndarray,
     z_vals: jnp.ndarray,
@@ -103,6 +115,7 @@ def raw2outputs_t(
     white_bkgd: bool = False,
     rng: jax.Array | None = None,
     cull_eps: float = 0.0,
+    noise: jnp.ndarray | None = None,
 ) -> RayOutputs:
     """Channel-major compositing: ``raw_t [4, N, S]`` (rgb 0:3, sigma 3).
 
@@ -110,19 +123,21 @@ def raw2outputs_t(
     fused kernel's transposed output so no [N*S, small]-lane tensor is ever
     materialized (each [N, S] channel plane has a full-lane layout). Semantic
     heads are not supported on this path (the dispatcher falls back).
+
+    ``noise`` optionally supplies the pre-scaled additive sigma noise (drawn
+    by the caller so the forward-culling kernel sees the identical values);
+    it must equal ``normal(rng, [N, S]) * raw_noise_std``.
     """
     raw_t = raw_t.astype(jnp.float32)
     z_vals = z_vals.astype(jnp.float32)
-
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
-    dists = dists * jnp.linalg.norm(rays_d.astype(jnp.float32), axis=-1,
-                                    keepdims=True)
+    dists = composit_dists(z_vals, rays_d)
 
     rgb = jax.nn.sigmoid(raw_t[:3])  # [3, N, S]
 
     sigma = raw_t[3]
-    if raw_noise_std > 0.0:
+    if noise is not None:
+        sigma = sigma + noise.astype(jnp.float32)
+    elif raw_noise_std > 0.0:
         if rng is None:
             raise ValueError("raw_noise_std > 0 requires an rng key")
         sigma = sigma + jax.random.normal(rng, sigma.shape, sigma.dtype) * raw_noise_std

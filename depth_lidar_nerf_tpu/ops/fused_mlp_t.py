@@ -53,6 +53,24 @@ _VMEM_LIMIT = int(os.environ.get("DLNERF_FUSED_VMEM_MB", 100)) * 1024 * 1024
 _TILE_FWD = int(os.environ.get("DLNERF_FUSED_TILE_FWD", 8192))
 
 
+def cull_fwd_enabled() -> bool:
+    """Forward transmittance culling (see _fwd_impl_cf) — DLNERF_CULL_FWD=1
+    to enable.
+
+    Measured verdict (one v5e, flagship bench): OFF by default. The path is
+    exact and fully tested, but the fine pass can only skip ~15-20% of its
+    sample blocks (inverse-CDF importance sampling places fine samples
+    proportional to weight mass, so few land post-termination — the same
+    structural cap PERF.md documents for the backward cull), which does not
+    pay for its machinery: 2048-point blocks instead of the 8192-point dense
+    forward tile (-5k rays/s), plus the per-block transmittance tracking
+    (log-sum matmul + predicated bodies) and the sort/unsort gathers
+    (-15k rays/s) against ~+5k from the skips. Net 305k -> 285k rays/s, so
+    the dense forward + cotangent-culled backward remains the default.
+    """
+    return os.environ.get("DLNERF_CULL_FWD", "0") == "1"
+
+
 def _cparams():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
@@ -373,11 +391,8 @@ def _vjp_fwd(params, xt, vt_f, vt_b, spec):
     return _fwd_impl(params, xt, vt_f, spec), (params, xt, vt_b)
 
 
-def _vjp_bwd(spec, res, g):
-    if len(spec) > 6 and spec[6]:
-        return _vjp_bwd_culled(spec, res, g)
-    params, xt, vt = res
-    depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
+def _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v):
+    """Dense recompute backward: full-tile grid, returns the param grads."""
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
@@ -396,7 +411,16 @@ def _vjp_bwd(spec, res, g):
         compiler_params=_cparams(),
         interpret=interpret_mode(),
     )(xt, vt, g, *ws)
-    d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return _unpack_grads(list(dws), params, depth, n_p, n_v)
+
+
+def _vjp_bwd(spec, res, g):
+    if len(spec) > 6 and spec[6]:
+        return _vjp_bwd_culled(spec, res, g)
+    params, xt, vt = res
+    depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
+    P = xt.shape[1]
+    d_params = _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v)
     return (d_params, jnp.zeros_like(xt),
             jnp.zeros((3, (P // _tile_f) * 128), xt.dtype),
             jnp.zeros_like(vt))
@@ -417,6 +441,17 @@ def _vjp_bwd_culled(spec, res, g):
     params, xt, vt = res
     depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
     SB = spec[7]
+    d_params = _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p,
+                                   n_v, SB)
+    return (d_params, jnp.zeros_like(xt),
+            jnp.zeros((3, (xt.shape[1] // _tile_f) * 128), xt.dtype),
+            jnp.zeros_like(vt))
+
+
+def _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v, SB):
+    """Cotangent-culled recompute backward (see _vjp_bwd_culled docstring):
+    returns the param grads for ray-major ``xt [3, P]`` / ``vt`` (_TILE
+    viewdir layout) / ``g [4, P]``."""
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     N = P // S
@@ -476,13 +511,149 @@ def _vjp_bwd_culled(spec, res, g):
         compiler_params=_cparams(),
         interpret=interpret_mode(),
     )(flags, xb, vpad, gb, *ws)
-    d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
-    return (d_params, jnp.zeros_like(xt),
-            jnp.zeros((3, (P // _tile_f) * 128), xt.dtype),
-            jnp.zeros_like(vt))
+    return _unpack_grads(list(dws), params, depth, n_p, n_v)
 
 
 _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ----------------------------------------------- forward transmittance cull
+
+def _fwd_kernel_cf(spec, xt_ref, vt_ref, aux_ref, *refs):
+    """Forward with in-kernel early ray termination.
+
+    Blocks of (RB rays x SB samples) run sample-sequentially per ray group; a
+    VMEM scratch carries each ray's running transmittance (same alpha math as
+    ``raw2outputs_t``, including the sigma noise, fed via ``aux``). Once every
+    ray in the group has T below ``eps`` (= cull_eps/2: a safety margin over
+    the compositor's hard-zero threshold, so float reassociation can never
+    flip a live sample dead) the whole MLP block is skipped and a
+    ``sigma=-1e10`` constant is written — the compositor zeroes those samples'
+    weights either way, so outputs and gradients are exactly unchanged.
+    """
+    depth, dtype, SB, RB, nSB, eps = spec
+    *w_refs, out_ref, t_scr = refs
+    i = pl.program_id(0)
+    sb = jax.lax.rem(i, nSB)
+
+    @pl.when(sb == 0)
+    def _():
+        t_scr[...] = jnp.ones_like(t_scr)
+
+    live = jnp.max(t_scr[0:1, :]) >= eps
+
+    @pl.when(live)
+    def _():
+        ws = _unflatten([r[:] for r in w_refs], depth)
+        out, _ = _forward_tile((depth, dtype, SB, RB), xt_ref[:], vt_ref[:],
+                               ws)
+        out_ref[:] = out
+        # Transmittance factors of this block: prod over each ray's SB
+        # samples of (1 - alpha + 1e-10), via a log-sum matmul with the
+        # per-ray summing matrix E (Mosaic has no lane-windowed reduce).
+        s = jnp.maximum(out[3:4, :] + aux_ref[1:2, :], 0.0) * aux_ref[0:1, :]
+        logt = jnp.log(jnp.exp(-s) + 1e-10)  # [1, T]
+        E = _expand_matrix(RB, SB, jnp.float32)  # [T, RB]
+        t_scr[0:1, :] = t_scr[0:1, :] * jnp.exp(_dot(logt, E))
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+        out_ref[:] = jnp.where(rows == 3, -1e10, 0.0)
+
+
+def _fwd_impl_cf(params, xt, vr, aux, spec):
+    """Culled forward: sort rays by estimated termination, regroup into
+    (RB x SB) blocks (the backward-cull layout), run the sequential kernel,
+    un-block and un-permute.
+
+    ``xt [3, P]`` ray-major points, ``vr [3, Nf]`` per-ray unit viewdirs,
+    ``aux = (key [Nf], deltas [Nf, S], noise [Nf, S])``: sort key (heuristic
+    only — any permutation is exact), compositor's distance terms
+    ``dists * |rays_d|``, and the exact sigma noise the compositor will add.
+    """
+    depth, dtype, S, n_p, n_v, SB, eps = spec
+    key, deltas, noise = aux
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    Nf = P // S
+    RB = _TILE // SB
+    nRB = Nf // RB
+    nSB = S // SB
+
+    order = jnp.argsort(key)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(Nf, dtype=order.dtype))
+    xs = jnp.take(xt.reshape(3, Nf, S), order, axis=1)
+    ds = jnp.take(deltas, order, axis=0)
+    ns = jnp.take(noise, order, axis=0)
+    vs = jnp.take(vr, order, axis=1)
+
+    xb = xs.reshape(3, nRB, RB, nSB, SB).transpose(0, 1, 3, 2, 4).reshape(3, -1)
+    aux_b = jnp.stack([ds, ns]).reshape(2, nRB, RB, nSB, SB).transpose(
+        0, 1, 3, 2, 4).reshape(2, -1)
+    vt_cf = vs.reshape(3, nRB * RB)  # RB == 128: no lane pad needed
+
+    # Skip at eps/2: a 2x margin over the compositor's hard-zero threshold,
+    # so in-kernel float reassociation of the T product can never flip a
+    # sample the compositor keeps (see _fwd_kernel_cf docstring).
+    kspec = (depth, dtype, SB, RB, nSB, 0.5 * float(eps))
+    out_b = pl.pallas_call(
+        functools.partial(_fwd_kernel_cf, kspec),
+        grid=(nRB * nSB,),
+        in_specs=[
+            pl.BlockSpec((3, _TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i // nSB),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=pl.BlockSpec((4, _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xb, vt_cf, aux_b, *ws)
+    out = out_b.reshape(4, nRB, nSB, RB, SB).transpose(0, 1, 3, 2, 4)
+    return jnp.take(out.reshape(4, Nf, S), inv, axis=1).reshape(4, P)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_t_cf(params, xt, vr, vt_b, aux, spec):
+    return _fwd_impl_cf(params, xt, vr, aux, spec)
+
+
+def _vjp_fwd_cf(params, xt, vr, vt_b, aux, spec):
+    return _fwd_impl_cf(params, xt, vr, aux, spec), (params, xt, vt_b)
+
+
+def _vjp_bwd_cf(spec, res, g):
+    params, xt, vt_b = res
+    depth, dtype, S, n_p, n_v, SB, _eps = spec
+    if spec_bwd_cull(spec):
+        d_params = _bwd_culled_dparams(params, xt, vt_b, g, depth, dtype, S,
+                                       n_p, n_v, SB)
+    else:
+        d_params = _bwd_dense_dparams(params, xt, vt_b, g, depth, dtype, S,
+                                      n_p, n_v)
+    Nf = xt.shape[1] // S
+    zero_aux = (jnp.zeros((Nf,), jnp.float32),
+                jnp.zeros((Nf, S), jnp.float32),
+                jnp.zeros((Nf, S), jnp.float32))
+    return (d_params, jnp.zeros_like(xt), jnp.zeros((3, Nf), xt.dtype),
+            jnp.zeros_like(vt_b), zero_aux)
+
+
+def spec_bwd_cull(spec) -> bool:
+    """The cf path always pairs with the cotangent-culled backward (the same
+    compositor contract actives both); kept as a hook for A/B runs."""
+    return os.environ.get("DLNERF_CULL_BWD_CF", "1") == "1"
+
+
+_fused_t_cf.defvjp(_vjp_fwd_cf, _vjp_bwd_cf)
 
 
 def supports_rays_shape(S: int) -> bool:
@@ -498,14 +669,17 @@ def supports_rays_shape(S: int) -> bool:
 
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
-                          dtype=jnp.bfloat16, cull_bwd=False, mesh=None,
-                          ray_axis="rays"):
+                          dtype=jnp.bfloat16, cull_bwd=False, fwd_cull=None,
+                          mesh=None, ray_axis="rays"):
     """v4 entry: rays [N, 3] + z [N, S] -> channel-major raw [4, N, S].
 
     Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
     ever exists in HBM. With ``cull_bwd`` the backward pass skips tiles whose
     cotangents are all exactly zero (pair with ``cull_eps``-masked
-    compositing; see :func:`_vjp_bwd_culled`).
+    compositing; see :func:`_vjp_bwd_culled`). ``fwd_cull = (key, deltas,
+    noise, eps)`` additionally runs the early-terminating forward
+    (:func:`_fwd_impl_cf`): sort key [N], compositor distance terms [N, S],
+    the exact sigma noise [N, S], and the compositor's cull_eps.
 
     With a multi-device ``mesh`` the call is shard_mapped over the ray axis:
     ``pallas_call`` is opaque to the GSPMD partitioner, so each device runs
@@ -518,18 +692,30 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
 
         core = functools.partial(
             _apply_rays_core, depth=depth, width=width, multires=multires,
-            multires_views=multires_views, dtype=dtype, cull_bwd=cull_bwd)
+            multires_views=multires_views, dtype=dtype, cull_bwd=cull_bwd,
+            fwd_eps=fwd_cull[3] if fwd_cull is not None else 0.0)
+        if fwd_cull is None:
+            aux_args, aux_specs = (), ()
+        else:
+            aux_args = tuple(fwd_cull[:3])
+            aux_specs = (P_(ray_axis), P_(ray_axis), P_(ray_axis))
         return jax.shard_map(
             core, mesh=mesh,
             in_specs=(P_(), P_(ray_axis), P_(ray_axis), P_(ray_axis),
-                      P_(ray_axis)),
+                      P_(ray_axis)) + aux_specs,
             out_specs=P_(None, ray_axis),
             check_vma=False,
-        )(params, rays_o, rays_d, viewdirs, z_vals)
-    return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals,
-                            depth=depth, width=width, multires=multires,
-                            multires_views=multires_views, dtype=dtype,
-                            cull_bwd=cull_bwd)
+        )(params, rays_o, rays_d, viewdirs, z_vals, *aux_args)
+    if fwd_cull is None:
+        return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals,
+                                depth=depth, width=width, multires=multires,
+                                multires_views=multires_views, dtype=dtype,
+                                cull_bwd=cull_bwd)
+    key, deltas, noise, eps = fwd_cull
+    return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key,
+                            deltas, noise, depth=depth, width=width,
+                            multires=multires, multires_views=multires_views,
+                            dtype=dtype, cull_bwd=cull_bwd, fwd_eps=eps)
 
 
 def _fwd_tile_size(S: int) -> int:
@@ -548,11 +734,20 @@ def _build_vt(viewdirs_t, n_full, S, tile):
     return v.reshape(3, n_tiles * 128)
 
 
-def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
-                     width, multires, multires_views, dtype, cull_bwd):
+def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
+                     deltas=None, noise=None, *, depth, width, multires,
+                     multires_views, dtype, cull_bwd, fwd_eps=0.0):
     N, S = z_vals.shape
+    sb = min(_SAMPLE_BLOCK, S)
+    blocks_ok = S % sb == 0 and _TILE // sb <= 128
+    # The cf kernel's viewdir layout assumes exactly 128 rays per block.
+    use_cf = (key is not None and fwd_eps > 0.0 and blocks_ok
+              and _TILE // sb == 128 and cull_fwd_enabled())
+
     tile_f = _fwd_tile_size(S)
-    rays_per_ftile = tile_f // S
+    # The cf path regroups into (RB x SB) blocks, so rays pad to RB; the
+    # dense forward pads to its (larger) tile's ray count.
+    rays_per_ftile = _TILE // sb if use_cf else tile_f // S
     n_pad = (-N) % rays_per_ftile
     n_full = N + n_pad
     if n_pad:
@@ -560,19 +755,31 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
         rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)))
         viewdirs = jnp.pad(viewdirs, ((0, n_pad), (0, 0)))
         z_vals = jnp.pad(z_vals, ((0, n_pad), (0, 0)))
+        if use_cf:
+            # Padded rays sort last and never terminate (delta 0 -> T = 1);
+            # only their own blocks stay live.
+            key = jnp.pad(key, (0, n_pad), constant_values=jnp.inf)
+            deltas = jnp.pad(deltas, ((0, n_pad), (0, 0)))
+            noise = jnp.pad(noise, ((0, n_pad), (0, 0)))
 
     # ptsT [3, N, S]: lanes = S, no padding waste; reshape to [3, P] is free.
     ot = rays_o.astype(jnp.float32).T[:, :, None]
     dt_ = rays_d.astype(jnp.float32).T[:, :, None]
     ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
-    # Viewdir layouts for the forward (tile_f) and backward (_TILE) grids.
     vdT = viewdirs.astype(jnp.float32).T
-    vt_f = _build_vt(vdT, n_full, S, tile_f)
-    vt_b = vt_f if tile_f == _TILE else _build_vt(vdT, n_full, S, _TILE)
+    cull = bool(cull_bwd) and blocks_ok
 
-    sb = min(_SAMPLE_BLOCK, S)
-    cull = bool(cull_bwd) and S % sb == 0 and _TILE // sb <= 128
-    spec = (depth, dtype, S, tile_f, multires, multires_views, cull, sb)
-    raw_t = _fused_t(params, ptsT, vt_f, vt_b, spec)  # [4, P]
+    if use_cf:
+        vt_b = _build_vt(vdT, n_full, S, _TILE)
+        aux = (key.astype(jnp.float32), deltas.astype(jnp.float32),
+               noise.astype(jnp.float32))
+        spec = (depth, dtype, S, multires, multires_views, sb, float(fwd_eps))
+        raw_t = _fused_t_cf(params, ptsT, vdT, vt_b, aux, spec)
+    else:
+        # Viewdir layouts for the forward (tile_f) and backward (_TILE) grids.
+        vt_f = _build_vt(vdT, n_full, S, tile_f)
+        vt_b = vt_f if tile_f == _TILE else _build_vt(vdT, n_full, S, _TILE)
+        spec = (depth, dtype, S, tile_f, multires, multires_views, cull, sb)
+        raw_t = _fused_t(params, ptsT, vt_f, vt_b, spec)  # [4, P]
     out = raw_t.reshape(4, n_full, S)
     return out[:, :N] if n_pad else out

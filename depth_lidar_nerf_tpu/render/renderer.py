@@ -138,14 +138,20 @@ def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
 
 
 def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
-                      noise_rng):
+                      noise_rng, fwd_sort_key=None):
     """Evaluate the field at per-ray depths and composite.
 
     Prefers the transposed fused path (channel-major raw [4, N, S]; no
     [P, small]-lane tensor ever exists in HBM) with the channel-major
     compositor; falls back to the Flax module + standard compositing.
+
+    ``fwd_sort_key`` (per-ray estimated termination depth) enables the fused
+    kernel's exact early-terminating forward when ``cull_eps > 0``: the sigma
+    noise is drawn here once so the in-kernel transmittance tracking and the
+    compositor add identical values.
     """
-    from depth_lidar_nerf_tpu.ops.compositing import raw2outputs_t
+    from depth_lidar_nerf_tpu.ops.compositing import (composit_dists,
+                                                      raw2outputs_t)
     from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_rays_shape
 
     S = z_vals.shape[-1]
@@ -153,11 +159,23 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
             and supports_rays_shape(S) and model.supports_raw(params, cfg)
             and (not hasattr(model, "rays_ok")
                  or model.rays_ok(z_vals.shape[0]))):
-        raw_t = model.apply_rays(params, rays, z_vals, cfg)
+        noise = None
+        if cfg.raw_noise_std > 0.0 and noise_rng is not None:
+            noise = jax.random.normal(
+                noise_rng, z_vals.shape, jnp.float32) * cfg.raw_noise_std
+        fwd_cull = None
+        if fwd_sort_key is not None and cfg.cull_eps > 0.0:
+            deltas = composit_dists(z_vals, rays.directions)
+            fwd_cull = (jax.lax.stop_gradient(fwd_sort_key), deltas,
+                        noise if noise is not None
+                        else jnp.zeros_like(z_vals, dtype=jnp.float32),
+                        cfg.cull_eps)
+        raw_t = model.apply_rays(params, rays, z_vals, cfg,
+                                 fwd_cull=fwd_cull)
         return raw2outputs_t(
             raw_t, z_vals, rays.directions,
             raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-            rng=noise_rng, cull_eps=cfg.cull_eps)
+            rng=noise_rng, cull_eps=cfg.cull_eps, noise=noise)
     pts = (rays.origins[..., None, :]
            + rays.directions[..., None, :] * z_vals[..., :, None])
     raw = query_network(model, params, pts, rays.viewdirs, cfg)
@@ -217,10 +235,16 @@ def render_rays(
             )
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        # Fine-pass forward-cull sort key: the coarse pass's expected
+        # termination depth; unterminated (low-acc) rays sort last. Only an
+        # ordering heuristic — exactness never depends on it.
+        fine_key = None
+        if cfg.cull_eps > 0.0:
+            fine_key = coarse.depth + (1.0 - coarse.acc) * 1e6
         fine = _composite_from_z(
             fine_model if fine_model is not None else model,
             params["fine"] if fine_model is not None else params["coarse"],
-            rays, z_all, cfg, k_noise_f,
+            rays, z_all, cfg, k_noise_f, fwd_sort_key=fine_key,
         )
         ret.update({
             "rgb0": coarse.rgb, "disp0": coarse.disp, "acc0": coarse.acc,
