@@ -517,6 +517,205 @@ def _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v, SB):
 _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ------------------------------------------------- saved-activation backward
+
+# The recompute backward spends 1/3 of its FLOPs re-running the forward. On
+# this chip the backward is MXU-bound with HBM bandwidth to spare, so for the
+# FINE pass (where transmittance culling only reaches 15-20%) it is faster to
+# write the activations to HBM in the forward and stream them back through the
+# backward's double-buffered BlockSpecs: ~720 B/point of (mostly overlapped)
+# DMA replaces 33% of the backward's matmul FLOPs. The coarse pass keeps the
+# recompute+cull backward (its ~45-50% cull beats recompute removal).
+_ACTS_TILE = int(os.environ.get("DLNERF_BWD_ACTS_TILE", 4096))
+
+
+def bwd_acts_enabled() -> bool:
+    return os.environ.get("DLNERF_BWD_ACTS", "1") == "1"
+
+
+# HBM cap for saved activations (2816 B/point at width 256: five [W] bf16
+# trunk/feature arrays + one [W/2]): the default admits the 16k-ray fine pass
+# (2.1M points, ~5.9GB) but keeps image-sized patch renders on the recompute
+# path.
+_ACTS_MAX_POINTS = int(os.environ.get("DLNERF_BWD_ACTS_MAX_POINTS",
+                                      4 * 1024 * 1024))
+
+
+def _fwd_kernel_acts(spec, xt_ref, vt_ref, *refs):
+    """Forward that also writes the per-point activations the backward needs:
+    trunk layers, feature, and view-branch activations (encodings are
+    recomputed in the backward — they are VPU-cheap and 4.5x the traffic)."""
+    depth = spec[0]
+    n_w = _n_ws(depth)
+    w_refs, o_refs = refs[:n_w], refs[n_w:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    out, (enc_x, acts, feat, hv, _enc_v, _E) = _forward_tile(
+        spec, xt_ref[:], vt_ref[:], ws)
+    o_refs[0][:] = out
+    for ref, a in zip(o_refs[1:], [*acts, feat, hv]):
+        ref[:] = a
+
+
+def _bwd_kernel_acts(spec, xt_ref, vt_ref, g_ref, *refs):
+    """Backward consuming streamed activations: `_bwd_tile_body` minus the
+    forward recompute."""
+    depth, dtype, S, R = spec
+    n_w = _n_ws(depth)
+    w_refs = refs[:n_w]
+    a_refs = refs[n_w:n_w + depth + 2]
+    d_refs = refs[n_w + depth + 2:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
+
+    acts = [a_refs[i][:] for i in range(depth)]
+    feat = a_refs[depth][:]
+    hv = a_refs[depth + 1][:]
+    enc_x = _encode_t(xt_ref[:], (w1.shape[0] - 3) // 6, dtype)
+    enc_v = _encode_t(vt_ref[:, :R], (wve.shape[0] - 3) // 6, dtype)
+    E = _expand_matrix(R, S, dtype)
+
+    g = g_ref[:].astype(jnp.float32)
+    gb = g.astype(dtype)
+    dwr = jax.lax.dot_general(hv, gb, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbr = jnp.sum(g, 1, keepdims=True)
+
+    dhv = jax.lax.dot_general(gb, wr, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhv = jnp.where(hv.astype(jnp.float32) > 0, dhv, 0.0).astype(dtype)
+    dwvf = jax.lax.dot_general(feat, dhv, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbv = jnp.sum(dhv.astype(jnp.float32), 0, keepdims=True)
+    dhv_ray = jax.lax.dot_general(E, dhv, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dtype)
+    dwve = _dot(enc_v, dhv_ray)
+
+    dfeat = _dot_b_t(dhv, wvf).astype(dtype)
+    h_last = acts[-1]
+    dwfs = jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbfs = jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True)
+    dwsig = jax.lax.dot_general(h_last, gb, (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    dh = _dot_b_t(dfeat, wfs) + jax.lax.dot_general(
+        gb, wsig, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dtw = [None] * (depth - 1)
+    dtb = [None] * (depth - 1)
+    for li in range(depth - 1, 0, -1):
+        dh = jnp.where(acts[li].astype(jnp.float32) > 0, dh, 0.0).astype(dtype)
+        dtw[li - 1] = jax.lax.dot_general(
+            acts[li - 1], dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        dh = _dot_b_t(dh, tw[li - 1])
+    dh = jnp.where(acts[0].astype(jnp.float32) > 0, dh, 0.0).astype(dtype)
+    dw1 = _dot(enc_x, dh)
+    db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+
+    flat = [dw1, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
+            dbr]
+    i = pl.program_id(0)
+    for ref, val in zip(d_refs, flat):
+        @pl.when(i == 0)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(i != 0)
+        def _(ref=ref, val=val):
+            ref[:] = ref[:] + val
+
+
+def _acts_tile(S: int) -> int:
+    """Backward tile for the saved-acts path: large (no recompute stack in
+    VMEM), capped by the 128-ray viewdir block."""
+    cap = min(_ACTS_TILE, 128 * S)
+    return max(_TILE, (cap // _TILE) * _TILE)
+
+
+def _fwd_impl_acts(params, xt, vt_a, spec):
+    """Forward returning (raw, activation arrays) on the saved-acts tile."""
+    depth, dtype, S, tile_f, n_p, n_v = spec[:6]
+    tile = _acts_tile(S)
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    W = ws[4].shape[0]  # wfs [W, W]
+    out_shapes = [jax.ShapeDtypeStruct((4, P), jnp.float32)]
+    out_shapes += [jax.ShapeDtypeStruct((P, W), dtype)] * (depth + 1)
+    out_shapes += [jax.ShapeDtypeStruct((P, W // 2), dtype)]
+    out_specs = [pl.BlockSpec((4, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_specs += [pl.BlockSpec((tile, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * (depth + 1)
+    out_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_acts, (depth, dtype, S, tile // S)),
+        grid=(P // tile,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_a, *ws)
+    return outs[0], tuple(outs[1:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_t_acts(params, xt, vt_a, vt_f, spec):
+    # Primal-only calls (eval renders) never need activations: plain forward.
+    return _fwd_impl(params, xt, vt_f, spec)
+
+
+def _vjp_fwd_acts(params, xt, vt_a, vt_f, spec):
+    out, acts = _fwd_impl_acts(params, xt, vt_a, spec)
+    return out, (params, xt, vt_a, acts)
+
+
+def _vjp_bwd_acts(spec, res, g):
+    params, xt, vt_a, acts = res
+    depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
+    tile = _acts_tile(S)
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    W = ws[4].shape[0]
+    d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+    a_specs = [pl.BlockSpec((tile, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)] * (depth + 1)
+    a_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    dws = pl.pallas_call(
+        functools.partial(_bwd_kernel_acts, (depth, dtype, S, tile // S)),
+        grid=(P // tile,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+            *a_specs,
+        ],
+        out_specs=tuple(_full_spec(w.shape) for w in ws),
+        out_shape=tuple(d_shapes),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_a, g, *ws, *acts)
+    d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return (d_params, jnp.zeros_like(xt), jnp.zeros_like(vt_a),
+            jnp.zeros((3, (P // _tile_f) * 128), xt.dtype))
+
+
+_fused_t_acts.defvjp(_vjp_fwd_acts, _vjp_bwd_acts)
+
+
 # ----------------------------------------------- forward transmittance cull
 
 def _fwd_kernel_cf(spec, xt_ref, vt_ref, aux_ref, *refs):
@@ -670,7 +869,7 @@ def supports_rays_shape(S: int) -> bool:
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
                           dtype=jnp.bfloat16, cull_bwd=False, fwd_cull=None,
-                          mesh=None, ray_axis="rays"):
+                          save_acts=False, mesh=None, ray_axis="rays"):
     """v4 entry: rays [N, 3] + z [N, S] -> channel-major raw [4, N, S].
 
     Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
@@ -693,7 +892,8 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
         core = functools.partial(
             _apply_rays_core, depth=depth, width=width, multires=multires,
             multires_views=multires_views, dtype=dtype, cull_bwd=cull_bwd,
-            fwd_eps=fwd_cull[3] if fwd_cull is not None else 0.0)
+            fwd_eps=fwd_cull[3] if fwd_cull is not None else 0.0,
+            save_acts=save_acts)
         if fwd_cull is None:
             aux_args, aux_specs = (), ()
         else:
@@ -710,12 +910,13 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
         return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals,
                                 depth=depth, width=width, multires=multires,
                                 multires_views=multires_views, dtype=dtype,
-                                cull_bwd=cull_bwd)
+                                cull_bwd=cull_bwd, save_acts=save_acts)
     key, deltas, noise, eps = fwd_cull
     return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key,
                             deltas, noise, depth=depth, width=width,
                             multires=multires, multires_views=multires_views,
-                            dtype=dtype, cull_bwd=cull_bwd, fwd_eps=eps)
+                            dtype=dtype, cull_bwd=cull_bwd, fwd_eps=eps,
+                            save_acts=save_acts)
 
 
 def _fwd_tile_size(S: int) -> int:
@@ -736,7 +937,8 @@ def _build_vt(viewdirs_t, n_full, S, tile):
 
 def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
                      deltas=None, noise=None, *, depth, width, multires,
-                     multires_views, dtype, cull_bwd, fwd_eps=0.0):
+                     multires_views, dtype, cull_bwd, fwd_eps=0.0,
+                     save_acts=False):
     N, S = z_vals.shape
     sb = min(_SAMPLE_BLOCK, S)
     blocks_ok = S % sb == 0 and _TILE // sb <= 128
@@ -775,6 +977,14 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
                noise.astype(jnp.float32))
         spec = (depth, dtype, S, multires, multires_views, sb, float(fwd_eps))
         raw_t = _fused_t_cf(params, ptsT, vdT, vt_b, aux, spec)
+    elif (save_acts and bwd_acts_enabled()
+          and n_full * S <= _ACTS_MAX_POINTS
+          and n_full % (_acts_tile(S) // S) == 0):
+        vt_f = _build_vt(vdT, n_full, S, tile_f)
+        vt_a = (vt_f if _acts_tile(S) == tile_f
+                else _build_vt(vdT, n_full, S, _acts_tile(S)))
+        spec = (depth, dtype, S, tile_f, multires, multires_views)
+        raw_t = _fused_t_acts(params, ptsT, vt_a, vt_f, spec)
     else:
         # Viewdir layouts for the forward (tile_f) and backward (_TILE) grids.
         vt_f = _build_vt(vdT, n_full, S, tile_f)

@@ -138,7 +138,7 @@ def query_network(model, params, pts, viewdirs, cfg: RenderConfig,
 
 
 def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
-                      noise_rng, fwd_sort_key=None):
+                      noise_rng, fwd_sort_key=None, save_acts=False):
     """Evaluate the field at per-ray depths and composite.
 
     Prefers the transposed fused path (channel-major raw [4, N, S]; no
@@ -171,7 +171,7 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
                         else jnp.zeros_like(z_vals, dtype=jnp.float32),
                         cfg.cull_eps)
         raw_t = model.apply_rays(params, rays, z_vals, cfg,
-                                 fwd_cull=fwd_cull)
+                                 fwd_cull=fwd_cull, save_acts=save_acts)
         return raw2outputs_t(
             raw_t, z_vals, rays.directions,
             raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
@@ -209,8 +209,11 @@ def render_rays(
         rays.near, rays.far, cfg.N_samples,
         lindisp=cfg.lindisp, perturb=cfg.perturb, rng=k_strat,
     )
-    coarse = _composite_from_z(model, params["coarse"], rays, z_vals, cfg,
-                               k_noise_c)
+    import os as _os
+
+    coarse = _composite_from_z(
+        model, params["coarse"], rays, z_vals, cfg, k_noise_c,
+        save_acts=_os.environ.get("DLNERF_ACTS_COARSE", "0") == "1")
 
     ret = {
         "rgb_map": coarse.rgb, "disp_map": coarse.disp, "acc_map": coarse.acc,
@@ -241,10 +244,14 @@ def render_rays(
         fine_key = None
         if cfg.cull_eps > 0.0:
             fine_key = coarse.depth + (1.0 - coarse.acc) * 1e6
+        # Fine pass saves its activations for the no-recompute backward
+        # (ops/fused_mlp_t: bwd_acts_enabled); the coarse pass stays on the
+        # recompute+cull backward, where its ~45-50% cull wins.
         fine = _composite_from_z(
             fine_model if fine_model is not None else model,
             params["fine"] if fine_model is not None else params["coarse"],
             rays, z_all, cfg, k_noise_f, fwd_sort_key=fine_key,
+            save_acts=True,
         )
         ret.update({
             "rgb0": coarse.rgb, "disp0": coarse.disp, "acc0": coarse.acc,

@@ -72,7 +72,8 @@ class FusedMLP:
             multires_views=cfg.multires_views, dtype=self.module.dtype,
             mesh=self.mesh)
 
-    def apply_rays(self, params, rays, z_vals, cfg, fwd_cull=None):
+    def apply_rays(self, params, rays, z_vals, cfg, fwd_cull=None,
+                   save_acts=False):
         """Transposed fast path (v4): rays + per-ray depths -> raw."""
         from depth_lidar_nerf_tpu.ops import fused_mlp_t
 
@@ -81,7 +82,7 @@ class FusedMLP:
             depth=self.module.depth, width=self.module.width,
             multires=cfg.multires, multires_views=cfg.multires_views,
             dtype=self.module.dtype, cull_bwd=cfg.cull_eps > 0,
-            fwd_cull=fwd_cull, mesh=self.mesh)
+            fwd_cull=fwd_cull, save_acts=save_acts, mesh=self.mesh)
 
 
 class FrozenAlphaMLP:

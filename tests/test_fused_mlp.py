@@ -289,3 +289,25 @@ def test_render_rays_fwd_cull_matches_flax(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_cf.depth),
                                np.asarray(out_ref.depth), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_fused_bwd_acts_matches_flax():
+    """The saved-activation backward (no recompute) reproduces the Flax
+    gradients; its primal path (used by eval renders) stays the plain dense
+    forward."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(N=8, S=128)
+    kw = dict(depth=4, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32)
+    ref = np.asarray(model.apply(params, pe, veb))
+    got = np.asarray(fused_nerf_apply_rays(params, ro, rd, vd, z,
+                                           save_acts=True, **kw))
+    np.testing.assert_allclose(got.transpose(1, 2, 0), ref, rtol=1e-4,
+                               atol=1e-4)
+
+    _grad_compare(
+        lambda p: jnp.mean(jnp.sin(model.apply(p, pe, veb)) ** 2),
+        lambda p: jnp.mean(jnp.sin(fused_nerf_apply_rays(
+            p, ro, rd, vd, z, save_acts=True, **kw)) ** 2),
+        params, tol=1e-3)
