@@ -109,15 +109,35 @@ def _freq_spread(n_freq: int):
     return jnp.where(rows == cols % 3, octave, 0.0)
 
 
+_ENC_RECUR = os.environ.get("DLNERF_ENC_RECURRENCE", "1") == "1"
+
+
 def _encode_t(xt, n_freq, dtype):
     """xt [3, M] f32 -> stacked encoding [3 + 6n, M] (x | sin | cos rows).
 
     Phases are exact: hi/lo bf16 split + power-of-two octave matmul. One
     stacked output feeds ONE first-layer matmul (three split matmuls each
     paid an MXU pipeline fill for a tiny K).
+
+    For bf16 kernels the sin/cos of the octave ladder come from the
+    double-angle recurrence (sin 2a = 2 sin a cos a, cos 2a = 1 - 2 sin^2 a):
+    2 transcendentals + 3(n-1) FMA rows instead of 2*3n transcendentals. The
+    f32 recurrence error (~2^n ulps, ~1e-4 by octave 9) is far below the
+    bf16 cast's 3.9e-3 quantum, so the stored encoding is unchanged;
+    f32 kernels keep the exact direct path.
     """
-    F = _freq_spread(n_freq).astype(dtype)  # entries are 0 or 2^f (exact)
     hi = xt.astype(dtype)
+    if _ENC_RECUR and dtype == jnp.bfloat16:
+        s, c = jnp.sin(xt), jnp.cos(xt)  # [3, M] f32, octave 0
+        sins, coss = [s], [c]
+        for _ in range(1, n_freq):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            sins.append(s)
+            coss.append(c)
+        return jnp.concatenate(
+            [hi] + [v.astype(dtype) for v in sins]
+            + [v.astype(dtype) for v in coss], axis=0)
+    F = _freq_spread(n_freq).astype(dtype)  # entries are 0 or 2^f (exact)
     lo = (xt - hi.astype(jnp.float32)).astype(dtype)
     xf = _dot_c0(F, hi) + _dot_c0(F, lo)  # [3n, M] f32, exact phases
     return jnp.concatenate(
@@ -527,6 +547,10 @@ _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
 # DMA replaces 33% of the backward's matmul FLOPs. The coarse pass keeps the
 # recompute+cull backward (its ~45-50% cull beats recompute removal).
 _ACTS_TILE = int(os.environ.get("DLNERF_BWD_ACTS_TILE", 4096))
+# The acts-writing forward prefers a larger tile than the acts-reading
+# backward (8192/4096 measured 376.6k vs 374.1k at 4096/4096; 16384 blows the
+# scoped-vmem stack). 0 = same as the backward tile.
+_ACTS_TILE_FWD = int(os.environ.get("DLNERF_FWD_ACTS_TILE", 8192))
 
 
 def bwd_acts_enabled() -> bool:
@@ -635,10 +659,17 @@ def _acts_tile(S: int) -> int:
     return max(_TILE, (cap // _TILE) * _TILE)
 
 
+def _acts_tile_fwd(S: int) -> int:
+    if _ACTS_TILE_FWD <= 0:
+        return _acts_tile(S)
+    cap = min(_ACTS_TILE_FWD, 128 * S)
+    return max(_TILE, (cap // _TILE) * _TILE)
+
+
 def _fwd_impl_acts(params, xt, vt_a, spec):
     """Forward returning (raw, activation arrays) on the saved-acts tile."""
     depth, dtype, S, tile_f, n_p, n_v = spec[:6]
-    tile = _acts_tile(S)
+    tile = _acts_tile_fwd(S)
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     W = ws[4].shape[0]  # wfs [W, W]
@@ -686,6 +717,11 @@ def _vjp_bwd_acts(spec, res, g):
     ws = _pack_params(params, depth, n_p, n_v, dtype)
     P = xt.shape[1]
     W = ws[4].shape[0]
+    if _acts_tile_fwd(S) != tile:
+        # vt_a was laid out for the forward's tile; re-block for this one.
+        Nf = P // S
+        vr = vt_a.reshape(3, -1, 128)[:, :, :_acts_tile_fwd(S) // S]
+        vt_a = _build_vt(vr.reshape(3, Nf), Nf, S, tile)
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     a_specs = [pl.BlockSpec((tile, W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)] * (depth + 1)
@@ -979,10 +1015,11 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
         raw_t = _fused_t_cf(params, ptsT, vdT, vt_b, aux, spec)
     elif (save_acts and bwd_acts_enabled()
           and n_full * S <= _ACTS_MAX_POINTS
-          and n_full % (_acts_tile(S) // S) == 0):
+          and n_full % (_acts_tile(S) // S) == 0
+          and n_full % (_acts_tile_fwd(S) // S) == 0):
         vt_f = _build_vt(vdT, n_full, S, tile_f)
-        vt_a = (vt_f if _acts_tile(S) == tile_f
-                else _build_vt(vdT, n_full, S, _acts_tile(S)))
+        vt_a = (vt_f if _acts_tile_fwd(S) == tile_f
+                else _build_vt(vdT, n_full, S, _acts_tile_fwd(S)))
         spec = (depth, dtype, S, tile_f, multires, multires_views)
         raw_t = _fused_t_acts(params, ptsT, vt_a, vt_f, spec)
     else:
