@@ -31,6 +31,9 @@ import time
 
 
 def main():
+    # NOTE: jax_compilation_cache_dir was tried here and HANGS under the axon
+    # remote-compile tunnel (the executable never serializes back); compiles
+    # stay per-process, so the bench pays ~8 min of first-compile wall time.
     import jax
     import numpy as np
 
