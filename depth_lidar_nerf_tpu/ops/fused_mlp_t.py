@@ -604,12 +604,20 @@ def _fwd_kernel_acts(spec, xt_ref, vt_ref, *refs):
 
 def _bwd_kernel_acts(spec, xt_ref, vt_ref, g_ref, *refs):
     """Backward consuming streamed activations: `_bwd_tile_body` minus the
-    forward recompute."""
-    depth, dtype, S, R = spec
+    forward recompute.
+
+    ``spec[4]`` (has_gfeat): an extra streamed input carries a cotangent of
+    the *feature* activation — how the out-of-kernel semantic head
+    (``run_nerf_helpers.py:109``: two Dense layers off ``feature``) routes
+    its gradient into the trunk; see :func:`_fused_t_acts_sem`."""
+    depth, dtype, S, R = spec[:4]
+    has_gfeat = len(spec) > 4 and spec[4]
     n_w = _n_ws(depth)
     w_refs = refs[:n_w]
     a_refs = refs[n_w:n_w + depth + 2]
-    d_refs = refs[n_w + depth + 2:]
+    rest = refs[n_w + depth + 2:]
+    gfeat_ref = rest[0] if has_gfeat else None
+    d_refs = rest[1:] if has_gfeat else rest
     ws = _unflatten([r[:] for r in w_refs], depth)
     (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
 
@@ -637,7 +645,10 @@ def _bwd_kernel_acts(spec, xt_ref, vt_ref, g_ref, *refs):
                                   ).astype(dtype)
     dwve = _dot(enc_v, dhv_ray)
 
-    dfeat = _dot_b_t(dhv, wvf).astype(dtype)
+    dfeat_f32 = _dot_b_t(dhv, wvf)
+    if has_gfeat:
+        dfeat_f32 = dfeat_f32 + gfeat_ref[:].astype(jnp.float32)
+    dfeat = dfeat_f32.astype(dtype)
     h_last = acts[-1]
     dwfs = jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -732,8 +743,8 @@ def _vjp_fwd_acts(params, xt, vt_a, vt_f, spec):
     return out, (params, xt, vt_a, acts)
 
 
-def _vjp_bwd_acts(spec, res, g):
-    params, xt, vt_a, acts = res
+def _bwd_acts_dparams(params, xt, vt_a, acts, g, spec, gfeat=None):
+    """Run the saved-acts backward kernel; returns the param grads."""
     depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
     tile = _acts_tile(S)
     ws = _pack_params(params, depth, n_p, n_v, dtype)
@@ -749,8 +760,14 @@ def _vjp_bwd_acts(spec, res, g):
                             memory_space=pltpu.VMEM)] * (depth + 1)
     a_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
+    g_args, g_specs = (), ()
+    if gfeat is not None:
+        g_args = (gfeat,)
+        g_specs = (pl.BlockSpec((tile, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),)
     dws = pl.pallas_call(
-        functools.partial(_bwd_kernel_acts, (depth, dtype, S, tile // S)),
+        functools.partial(_bwd_kernel_acts,
+                          (depth, dtype, S, tile // S, gfeat is not None)),
         grid=(P // tile,),
         in_specs=[
             pl.BlockSpec((3, tile), lambda i: (0, i),
@@ -760,18 +777,62 @@ def _vjp_bwd_acts(spec, res, g):
                          memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
             *a_specs,
+            *g_specs,
         ],
         out_specs=tuple(_full_spec(w.shape) for w in ws),
         out_shape=tuple(d_shapes),
         compiler_params=_cparams(),
         interpret=interpret_mode(),
-    )(xt, vt_a, g, *ws, *acts)
-    d_params = _unpack_grads(list(dws), params, depth, n_p, n_v)
+    )(xt, vt_a, g, *ws, *acts, *g_args)
+    return _unpack_grads(list(dws), params, depth, n_p, n_v)
+
+
+def _vjp_bwd_acts(spec, res, g):
+    params, xt, vt_a, acts = res
+    _tile_f = spec[3]
+    P = xt.shape[1]
+    d_params = _bwd_acts_dparams(params, xt, vt_a, acts, g, spec)
     return (d_params, jnp.zeros_like(xt), jnp.zeros_like(vt_a),
             jnp.zeros((3, (P // _tile_f) * 128), xt.dtype))
 
 
 _fused_t_acts.defvjp(_vjp_fwd_acts, _vjp_bwd_acts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_t_acts_sem(params, xt, vt_a, vt_f, spec):
+    """Like _fused_t_acts but ALSO returns the feature activation [P, W] as a
+    differentiable output, so a semantic head can run outside the kernel
+    (run_nerf_helpers.py:109 taps ``feature`` before view conditioning); its
+    feature cotangent re-enters the trunk via the extended acts backward."""
+    out, acts = _fwd_impl_acts(params, xt, vt_a, spec)
+    return out, acts[spec[0]]  # acts[depth] == feature
+
+
+def _vjp_fwd_acts_sem(params, xt, vt_a, vt_f, spec):
+    out, acts = _fwd_impl_acts(params, xt, vt_a, spec)
+    return (out, acts[spec[0]]), (params, xt, vt_a, acts)
+
+
+def _vjp_bwd_acts_sem(spec, res, gs):
+    g, gfeat = gs
+    params, xt, vt_a, acts = res
+    _tile_f = spec[3]
+    P = xt.shape[1]
+    d_params = _bwd_acts_dparams(params, xt, vt_a, acts, g, spec,
+                                 gfeat=gfeat.astype(jnp.float32))
+    # Zero cotangents for the semantic head inside the vjp: raw/feat do not
+    # depend on it — its real gradient comes from the out-of-kernel matmuls.
+    p = params["params"] if "params" in params else params
+    d = d_params["params"] if "params" in d_params else d_params
+    for k in ("semantic_0", "semantic_1"):
+        if k in p:
+            d[k] = jax.tree.map(jnp.zeros_like, p[k])
+    return (d_params, jnp.zeros_like(xt), jnp.zeros_like(vt_a),
+            jnp.zeros((3, (P // _tile_f) * 128), xt.dtype))
+
+
+_fused_t_acts_sem.defvjp(_vjp_fwd_acts_sem, _vjp_bwd_acts_sem)
 
 
 # ----------------------------------------------- forward transmittance cull
@@ -975,6 +1036,97 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                             multires=multires, multires_views=multires_views,
                             dtype=dtype, cull_bwd=cull_bwd, fwd_eps=eps,
                             save_acts=save_acts)
+
+
+def supports_semantic(params, use_viewdirs: bool, depth: int, width: int,
+                      multires: int, multires_views: int) -> bool:
+    """Whether the semantic-head acts path (:func:`fused_nerf_apply_rays_semantic`)
+    covers this model shape: the base fused topology PLUS semantic_0/1."""
+    from depth_lidar_nerf_tpu.ops import fused_mlp
+
+    if not use_viewdirs or depth > 4 or depth < 1:
+        return False
+    p = params["params"] if "params" in params else params
+    if "semantic_0" not in p or "semantic_1" not in p:
+        return False
+    e_p, e_v = 3 + 6 * multires, 3 + 6 * multires_views
+    if e_p + e_v > fused_mlp._PACK:
+        return False
+    if p["trunk_0"]["kernel"].shape[0] != e_p:
+        return False
+    if p["views_0"]["kernel"].shape[0] != width + e_v:
+        return False
+    return p["trunk_0"]["kernel"].shape[1] == width and width in (128, 256)
+
+
+def fused_nerf_apply_rays_semantic(params, rays_o, rays_d, viewdirs, z_vals,
+                                   *, depth, width, multires, multires_views,
+                                   dtype=jnp.bfloat16, mesh=None,
+                                   ray_axis="rays"):
+    """Semantic-head variant: returns (raw [4, N, S], semantic [N, S, C]).
+
+    The reference's semantic head (run_nerf_helpers.py:109: two Dense layers
+    off the pre-view ``feature`` vector) runs OUTSIDE the kernel on the
+    feature activation the saved-acts forward already exports to HBM; its
+    feature cotangent re-enters the trunk through the extended acts backward
+    (``has_gfeat``). Both passes use the saved-acts (no-recompute) backward —
+    transmittance culling is structurally incompatible with the semantic
+    composite (an UNWEIGHTED sum over samples, run_nerf_helpers.py:589, so
+    no sample's cotangent is ever zero).
+    """
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P_
+
+        core = functools.partial(
+            _apply_rays_semantic_core, depth=depth, width=width,
+            multires=multires, multires_views=multires_views, dtype=dtype)
+        return jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(P_(), P_(ray_axis), P_(ray_axis), P_(ray_axis),
+                      P_(ray_axis)),
+            out_specs=(P_(None, ray_axis), P_(ray_axis)),
+            check_vma=False,
+        )(params, rays_o, rays_d, viewdirs, z_vals)
+    return _apply_rays_semantic_core(
+        params, rays_o, rays_d, viewdirs, z_vals, depth=depth, width=width,
+        multires=multires, multires_views=multires_views, dtype=dtype)
+
+
+def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
+                              depth, width, multires, multires_views, dtype):
+    N, S = z_vals.shape
+    tile_f = _fwd_tile_size(S)
+    rpt = max(tile_f // S, _acts_tile_fwd(S) // S, _acts_tile(S) // S)
+    n_pad = (-N) % rpt
+    n_full = N + n_pad
+    if n_pad:
+        rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+        rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)))
+        viewdirs = jnp.pad(viewdirs, ((0, n_pad), (0, 0)))
+        z_vals = jnp.pad(z_vals, ((0, n_pad), (0, 0)))
+
+    ot = rays_o.astype(jnp.float32).T[:, :, None]
+    dt_ = rays_d.astype(jnp.float32).T[:, :, None]
+    ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
+    vdT = viewdirs.astype(jnp.float32).T
+    vt_f = _build_vt(vdT, n_full, S, tile_f)
+    vt_a = (vt_f if _acts_tile_fwd(S) == tile_f
+            else _build_vt(vdT, n_full, S, _acts_tile_fwd(S)))
+    spec = (depth, dtype, S, tile_f, multires, multires_views)
+    raw_t, feat = _fused_t_acts_sem(params, ptsT, vt_a, vt_f, spec)
+
+    # Out-of-kernel semantic head, same math as NeRFMLP (bf16 like Flax).
+    p = params["params"] if "params" in params else params
+    s0 = _dot(feat, p["semantic_0"]["kernel"].astype(dtype)) \
+        + p["semantic_0"]["bias"].astype(jnp.float32)
+    sem = _dot(s0.astype(dtype), p["semantic_1"]["kernel"].astype(dtype)) \
+        + p["semantic_1"]["bias"].astype(jnp.float32)
+
+    raw = raw_t.reshape(4, n_full, S)
+    sem = sem.reshape(n_full, S, -1)
+    if n_pad:
+        raw, sem = raw[:, :N], sem[:N]
+    return raw, sem
 
 
 def _fwd_tile_size(S: int) -> int:

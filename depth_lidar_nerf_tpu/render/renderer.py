@@ -155,6 +155,26 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
     from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_rays_shape
 
     S = z_vals.shape[-1]
+    if (cfg.num_semantic_classes > 0
+            and hasattr(model, "apply_rays_semantic")
+            and rays.viewdirs is not None and supports_rays_shape(S)
+            and model.supports_raw_semantic(params, cfg)
+            and (not hasattr(model, "rays_ok")
+                 or model.rays_ok(z_vals.shape[0]))):
+        # Semantic fast path: kernel raw + out-of-kernel semantic head on the
+        # exported feature activation (run_nerf_helpers.py:109), composited
+        # as the reference's UNWEIGHTED sum over samples (:589).
+        raw_t, sem = model.apply_rays_semantic(params, rays, z_vals, cfg)
+        noise = None
+        if cfg.raw_noise_std > 0.0 and noise_rng is not None:
+            noise = jax.random.normal(
+                noise_rng, z_vals.shape, jnp.float32) * cfg.raw_noise_std
+        out = raw2outputs_t(
+            raw_t, z_vals, rays.directions,
+            raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
+            rng=noise_rng, cull_eps=cfg.cull_eps, noise=noise)
+        return out._replace(
+            semantic=jnp.sum(sem.astype(jnp.float32), axis=-2))
     if (hasattr(model, "apply_rays") and rays.viewdirs is not None
             and supports_rays_shape(S) and model.supports_raw(params, cfg)
             and (not hasattr(model, "rays_ok")

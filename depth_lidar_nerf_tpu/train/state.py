@@ -72,6 +72,27 @@ class FusedMLP:
             multires_views=cfg.multires_views, dtype=self.module.dtype,
             mesh=self.mesh)
 
+    def supports_raw_semantic(self, params, cfg) -> bool:
+        """Whether the semantic-head acts fast path covers this call."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp, fused_mlp_t
+
+        if (jax.default_backend() not in ("tpu", "axon")
+                and not fused_mlp.interpret_mode()):
+            return False
+        return fused_mlp_t.supports_semantic(
+            params, self.module.use_viewdirs, self.module.depth,
+            self.module.width, cfg.multires, cfg.multires_views)
+
+    def apply_rays_semantic(self, params, rays, z_vals, cfg):
+        """Semantic fast path: (raw [4, N, S], semantic logits [N, S, C])."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp_t
+
+        return fused_mlp_t.fused_nerf_apply_rays_semantic(
+            params, rays.origins, rays.directions, rays.viewdirs, z_vals,
+            depth=self.module.depth, width=self.module.width,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+            dtype=self.module.dtype, mesh=self.mesh)
+
     def apply_rays(self, params, rays, z_vals, cfg, fwd_cull=None,
                    save_acts=False):
         """Transposed fast path (v4): rays + per-ray depths -> raw."""

@@ -311,3 +311,86 @@ def test_fused_bwd_acts_matches_flax():
         lambda p: jnp.mean(jnp.sin(fused_nerf_apply_rays(
             p, ro, rd, vd, z, save_acts=True, **kw)) ** 2),
         params, tol=1e-3)
+
+
+def _setup_sem(depth=4, width=64, mr=10, mrv=4, N=8, S=128, C=4):
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+
+    model = NeRFMLP(depth=depth, width=width, in_channels=3 + 6 * mr,
+                    in_channels_views=3 + 6 * mrv, num_semantic_classes=C,
+                    dtype=jnp.float32)
+    k = jax.random.key(0)
+    ro = jax.random.normal(k, (N, 3))
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(jax.random.fold_in(k, 2), (N, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    pe = positional_encoding(pts, mr)
+    ve = positional_encoding(vd, mrv)
+    veb = jnp.broadcast_to(ve[:, None, :], (N, S, ve.shape[-1]))
+    params = model.init(jax.random.key(1), pe[:1, :1], veb[:1, :1])
+    return model, params, (ro, rd, vd, z, pts, pe, veb)
+
+
+def test_fused_semantic_matches_flax():
+    """The semantic fast path (kernel raw + out-of-kernel head on the
+    exported feature activation) matches the Flax module on outputs AND all
+    gradients — including the semantic head's own params and the trunk
+    gradient contribution that flows back through the feature cotangent."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        fused_nerf_apply_rays_semantic)
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem()
+    kw = dict(depth=4, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32)
+    ref = np.asarray(model.apply(params, pe, veb))  # [N, S, 4 + C]
+    raw, sem = fused_nerf_apply_rays_semantic(params, ro, rd, vd, z, **kw)
+    np.testing.assert_allclose(np.asarray(raw).transpose(1, 2, 0),
+                               ref[..., :4], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sem), ref[..., 4:], rtol=1e-4,
+                               atol=1e-4)
+
+    def loss_ref(p):
+        out = model.apply(p, pe, veb)
+        return (jnp.mean(jnp.sin(out[..., :4]) ** 2)
+                + jnp.mean(out[..., 4:] ** 2))
+
+    def loss_fused(p):
+        raw, sem = fused_nerf_apply_rays_semantic(p, ro, rd, vd, z, **kw)
+        return (jnp.mean(jnp.sin(raw.transpose(1, 2, 0)) ** 2)
+                + jnp.mean(sem ** 2))
+
+    _grad_compare(loss_ref, loss_fused, params, tol=1e-3)
+
+
+def test_composite_semantic_fused_matches_flax():
+    """_composite_from_z dispatches semantic models to the fast path and the
+    composited maps (incl. the unweighted semantic sum) match the Flax path."""
+    from depth_lidar_nerf_tpu.render.renderer import (RenderConfig, Rays,
+                                                      _composite_from_z)
+    from depth_lidar_nerf_tpu.train.state import FusedMLP
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem(width=128)
+    cfg = RenderConfig(N_samples=128, N_importance=0, perturb=False,
+                       raw_noise_std=0.0, ndc=False, near=2.0, far=6.0,
+                       multires=10, multires_views=4, num_semantic_classes=4)
+    rays = Rays(ro, rd, vd, jnp.full((8, 1), 2.0), jnp.full((8, 1), 6.0))
+    fused = FusedMLP(model)
+    fused.supports_raw_semantic = lambda p, c: True  # CPU interpret override
+
+    out_ref = _composite_from_z(model, params, rays, z, cfg, None)
+    out_f = _composite_from_z(fused, params, rays, z, cfg, None)
+    np.testing.assert_allclose(np.asarray(out_f.rgb),
+                               np.asarray(out_ref.rgb), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_f.semantic),
+                               np.asarray(out_ref.semantic), rtol=1e-4,
+                               atol=1e-3)
+
+    def loss(p, m):
+        out = _composite_from_z(m, p, rays, z, cfg, None)
+        return jnp.mean(out.rgb ** 2) + jnp.mean(out.semantic ** 2)
+
+    _grad_compare(lambda p: loss(p, model), lambda p: loss(p, fused),
+                  params, tol=1e-3)
