@@ -799,14 +799,54 @@ def _vjp_bwd_acts(spec, res, g):
 _fused_t_acts.defvjp(_vjp_fwd_acts, _vjp_bwd_acts)
 
 
+def _fwd_kernel_feat(spec, xt_ref, vt_ref, *refs):
+    depth = spec[0]
+    n_w = _n_ws(depth)
+    w_refs, (raw_ref, feat_ref) = refs[:n_w], refs[n_w:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    out, (_enc, _acts, feat, _hv, _ev, _E) = _forward_tile(
+        spec, xt_ref[:], vt_ref[:], ws)
+    raw_ref[:] = out
+    feat_ref[:] = feat
+
+
+def _fwd_impl_feat(params, xt, vt_f, spec):
+    """Primal-only semantic forward: raw + feature, WITHOUT the backward's
+    activation dump (a no-grad patch render would otherwise pay ~2.8KB/point
+    of dead HBM writes)."""
+    depth, dtype, S, tile_f, n_p, n_v = spec[:6]
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    P = xt.shape[1]
+    W = ws[4].shape[0]
+    raw, feat = pl.pallas_call(
+        functools.partial(_fwd_kernel_feat, (depth, dtype, S, tile_f // S)),
+        grid=(P // tile_f,),
+        in_specs=[
+            pl.BlockSpec((3, tile_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=(pl.BlockSpec((4, tile_f), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile_f, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((4, P), jnp.float32),
+                   jax.ShapeDtypeStruct((P, W), dtype)),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_f, *ws)
+    return raw, feat
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused_t_acts_sem(params, xt, vt_a, vt_f, spec):
     """Like _fused_t_acts but ALSO returns the feature activation [P, W] as a
     differentiable output, so a semantic head can run outside the kernel
     (run_nerf_helpers.py:109 taps ``feature`` before view conditioning); its
-    feature cotangent re-enters the trunk via the extended acts backward."""
-    out, acts = _fwd_impl_acts(params, xt, vt_a, spec)
-    return out, acts[spec[0]]  # acts[depth] == feature
+    feature cotangent re-enters the trunk via the extended acts backward.
+    Primal-only calls (eval renders) use the feat-only forward."""
+    return _fwd_impl_feat(params, xt, vt_f, spec)
 
 
 def _vjp_fwd_acts_sem(params, xt, vt_a, vt_f, spec):
