@@ -394,3 +394,15 @@ def test_composite_semantic_fused_matches_flax():
 
     _grad_compare(lambda p: loss(p, model), lambda p: loss(p, fused),
                   params, tol=1e-3)
+
+
+def test_supports_semantic_predicate():
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_semantic
+
+    _, params, _ = _setup_sem(width=128)
+    assert supports_semantic(params, True, 4, 128, 10, 4)
+    assert not supports_semantic(params, False, 4, 128, 10, 4)  # no viewdirs
+    assert not supports_semantic(params, True, 8, 128, 10, 4)  # deep trunk
+    assert not supports_semantic(params, True, 4, 64, 10, 4)  # narrow width
+    _, p_nosem, _ = _setup(width=128)
+    assert not supports_semantic(p_nosem, True, 4, 128, 10, 4)  # no head
