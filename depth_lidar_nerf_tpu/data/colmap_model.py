@@ -204,19 +204,25 @@ def read_cameras_text(path):
 
 
 def read_images_text(path):
+    # Images with zero 2D points still occupy two lines (the points line is
+    # empty), so the points line must be consumed raw — the comment/empty
+    # filter would otherwise drop it and desync the header/points pairing.
     images = {}
-    lines = list(_data_lines(path))
-    for head, pts in zip(lines[0::2], lines[1::2]):
-        h = head.split()
-        iid = int(h[0])
-        qvec = np.array([float(v) for v in h[1:5]])
-        tvec = np.array([float(v) for v in h[5:8]])
-        cam_id, name = int(h[8]), h[9]
-        vals = pts.split()
-        xys = np.array([float(v) for v in vals], float).reshape(-1, 3)[:, :2] \
-            if vals else np.zeros((0, 2))
-        ids = np.array([int(v) for v in vals[2::3]], np.int64)
-        images[iid] = Image(iid, qvec, tvec, cam_id, name, xys, ids)
+    with open(path) as f:
+        for line in f:
+            head = line.strip()
+            if not head or head.startswith("#"):
+                continue
+            h = head.split()
+            iid = int(h[0])
+            qvec = np.array([float(v) for v in h[1:5]])
+            tvec = np.array([float(v) for v in h[5:8]])
+            cam_id, name = int(h[8]), h[9]
+            vals = f.readline().split()
+            xys = np.array([float(v) for v in vals], float).reshape(-1, 3)[:, :2] \
+                if vals else np.zeros((0, 2))
+            ids = np.array([int(v) for v in vals[2::3]], np.int64)
+            images[iid] = Image(iid, qvec, tvec, cam_id, name, xys, ids)
     return images
 
 

@@ -239,6 +239,25 @@ def test_colmap_model_roundtrip(tmp_path, rng_np, ext):
     _assert_models_equal(model, cm.read_model(d, ext=ext))
 
 
+def test_colmap_images_text_zero_point_image(tmp_path, rng_np):
+    """A zero-point image (empty points line) must not desync the text
+    reader's header/points pairing (reference read_write_model.py:194-222
+    consumes the points line raw)."""
+    from depth_lidar_nerf_tpu.data import colmap_model as cm
+
+    cams, images, points = _random_model(rng_np)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    # Insert a zero-point image BETWEEN populated ones so a pairing shift
+    # would corrupt every subsequent image.
+    empty = cm.Image(3, q, np.zeros(3), 1, "empty.png",
+                     np.zeros((0, 2)), np.zeros(0, np.int64))
+    first, second = (images[i] for i in sorted(images))
+    images = {first.id: first, 3: empty, second.id: second}
+    d = str(tmp_path / "model")
+    cm.write_model(cams, images, points, d, ext=".txt")
+    _assert_models_equal((cams, images, points), cm.read_model(d, ".txt"))
+
+
 def test_colmap_cross_encoding(tmp_path, rng_np):
     """bin-written and txt-written models read back identically."""
     from depth_lidar_nerf_tpu.data import colmap_model as cm
