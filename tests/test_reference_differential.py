@@ -143,6 +143,163 @@ def test_spherify_poses_matches_reference(ref_llff, rng_np):
 
 
 @pytest.fixture(scope="module")
+def llff_fixture_dir(tmp_path_factory):
+    """On-disk LLFF scene + COLMAP sparse model both loaders can read:
+    images/ + pre-built images_2/ (so the reference's _minify subprocess
+    never runs), poses_bounds.npy, depth_gt.npy, sparse/0/*.bin."""
+    from depth_lidar_nerf_tpu.data import colmap_model as cm
+    from depth_lidar_nerf_tpu.data.llff import minify
+    from depth_lidar_nerf_tpu.data.synthetic import make_scene
+
+    d = tmp_path_factory.mktemp("llff_fixture")
+    make_scene(str(d), n_images=3, H=32, W=48, focal=40.0, n_depth_points=150)
+    minify(str(d), 2)
+
+    # A small COLMAP sparse model consistent with "some" reconstruction —
+    # load_colmap_depth only needs geometric consistency within the model.
+    rng = np.random.default_rng(7)
+    cams = {1: cm.Camera(1, 1, 48, 32, np.array([40.0, 40.0, 24.0, 16.0]))}
+    pts, images = {}, {}
+    # Points ahead of the near-identity cameras along +z (COLMAP depth is
+    # measured along the camera z axis), inside the synthetic scene's bounds
+    # so the reference's bds filter (load_llff.py:392) keeps most of them.
+    n_pts = 120
+    xyz = rng.normal(size=(n_pts, 3)) * 0.5 + np.array([0.0, 0.0, 3.0])
+    for pid in range(1, n_pts + 1):
+        pts[pid] = cm.Point3D(
+            pid, xyz[pid - 1], rng.integers(0, 256, 3),
+            float(rng.uniform(0.2, 2.0)),
+            np.array([1], np.int32), np.array([pid - 1], np.int32))
+    for iid in range(1, 4):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        q = np.array([1.0, 0.0, 0.0, 0.0]) * 0.9 + 0.1 * q  # near identity
+        q /= np.linalg.norm(q)
+        ids = np.arange(1, n_pts + 1, dtype=np.int64)
+        ids[rng.uniform(size=n_pts) < 0.2] = -1  # untriangulated 2D points
+        images[iid] = cm.Image(
+            iid, q, rng.normal(size=3) * 0.3, 1, f"im_{iid:03d}.png",
+            rng.uniform(0, 48, (n_pts, 2)), ids)
+    os.makedirs(os.path.join(d, "sparse", "0"), exist_ok=True)
+    cm.write_model(cams, images, pts, os.path.join(d, "sparse", "0"),
+                   ext=".bin")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ref_llff_io(llff_fixture_dir):
+    """Reference load_llff.py with REAL colmapUtils readers (from the
+    reference checkout) and an imageio shim, so its full data loaders —
+    load_llff_data / load_lidar_depth / load_colmap_depth — run for real."""
+    import importlib.util
+
+    stubs = {}
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        stubs[name] = m
+        return m
+
+    for name in ("torch", "matplotlib", "matplotlib.pyplot",
+                 "preprocess.KITTI360", "preprocess.KITTI360.segmentor"):
+        if name not in sys.modules:
+            m = _mod(name)
+            if name.endswith("segmentor"):
+                m.SemanticSegmentorHelper = object
+
+    # Real reference colmapUtils (pure numpy/struct).
+    pkg = _mod("colmapUtils")
+    pkg.__path__ = [os.path.join(REF, "colmapUtils")]
+    for sub in ("read_write_model", "read_write_dense"):
+        spec = importlib.util.spec_from_file_location(
+            f"colmapUtils.{sub}", os.path.join(REF, "colmapUtils", f"{sub}.py"))
+        m = importlib.util.module_from_spec(spec)
+        stubs[f"colmapUtils.{sub}"] = m
+        sys.modules[f"colmapUtils.{sub}"] = m
+        spec.loader.exec_module(m)
+
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_load_llff_io", os.path.join(REF, "load_llff.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # imageio shim INSIDE the ref module only: modern imageio rejects
+        # the legacy ignoregamma kwarg the reference passes
+        # (load_llff.py:121).
+        import imageio.v2 as iio2
+        shim = types.ModuleType("ref_imageio_shim")
+        shim.imread = lambda f, **kw: iio2.imread(f)
+        mod.imageio = shim
+        yield mod
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
+def test_load_llff_data_matches_reference(ref_llff_io, llff_fixture_dir,
+                                          tmp_path, monkeypatch):
+    """End-to-end load_llff_data (axis fix + bd rescale + recenter + spiral
+    + holdout pick, load_llff.py:254-345) against the reference's own code
+    on the same on-disk scene."""
+    from depth_lidar_nerf_tpu.data.llff import load_llff_data
+
+    # The reference dumps a debug poses_our.npy into cwd (load_llff.py:274).
+    monkeypatch.chdir(tmp_path)
+    r_imgs, r_poses, r_bds, r_render, r_itest = ref_llff_io.load_llff_data(
+        llff_fixture_dir, factor=2, recenter=True, bd_factor=0.75)
+    o_imgs, o_poses, o_bds, o_render, o_itest = load_llff_data(
+        llff_fixture_dir, factor=2, recenter=True, bd_factor=0.75)
+
+    np.testing.assert_allclose(o_imgs, r_imgs, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(o_poses, r_poses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(o_bds, r_bds, rtol=1e-6, atol=0)
+    np.testing.assert_allclose(o_render, np.asarray(r_render), rtol=1e-5,
+                               atol=1e-6)
+    assert o_itest == int(r_itest)
+
+
+def test_load_lidar_depth_matches_reference(ref_llff_io, llff_fixture_dir):
+    """load_lidar_depth (sc rescale + NDC 1 - 1/d, load_llff.py:461-552)
+    against the reference's own code."""
+    from depth_lidar_nerf_tpu.data.depth import load_lidar_depth
+
+    hwf = [32, 48, 40.0]
+    ref = ref_llff_io.load_lidar_depth(llff_fixture_dir, hwf, factor=None,
+                                       bd_factor=0.75)
+    ours = load_lidar_depth(llff_fixture_dir, factor=None, bd_factor=0.75)
+    assert len(ours) == len(ref)
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(o["depth"], r["depth"], rtol=1e-6,
+                                   atol=1e-7)
+        np.testing.assert_allclose(o["coord"], r["coord"], rtol=1e-6, atol=0)
+        np.testing.assert_allclose(o["weight"], r["weight"], rtol=1e-6,
+                                   atol=0)
+
+
+def test_load_colmap_depth_matches_reference(ref_llff_io, llff_fixture_dir):
+    """load_colmap_depth (reprojection depth + bounds filter + error
+    weighting, load_llff.py:359-406) against the reference's own code,
+    which also cross-checks our binary COLMAP writers against the
+    reference's own readers."""
+    from depth_lidar_nerf_tpu.data.depth import load_colmap_depth
+
+    ref = ref_llff_io.load_colmap_depth(llff_fixture_dir, factor=2,
+                                        bd_factor=0.75)
+    ours = load_colmap_depth(llff_fixture_dir, factor=2, bd_factor=0.75)
+    # The reference drops images whose filtered point list is empty
+    # (load_llff.py:399-403); ours keeps empty entries to preserve indexing.
+    ours_nonempty = [o for o in ours if len(o["depth"])]
+    assert len(ours_nonempty) == len(ref)
+    for o, r in zip(ours_nonempty, ref):
+        np.testing.assert_allclose(o["depth"], r["depth"], rtol=1e-6,
+                                   atol=1e-7)
+        np.testing.assert_allclose(o["coord"], r["coord"], rtol=1e-6, atol=0)
+        np.testing.assert_allclose(o["weight"], r["weight"], rtol=1e-6,
+                                   atol=0)
+
+
+@pytest.fixture(scope="module")
 def ref_depth_utils():
     import importlib.util
 
