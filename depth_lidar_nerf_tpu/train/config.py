@@ -151,6 +151,12 @@ class TrainConfig:
     # ray; cotangents of occluded samples become exactly zero, letting the
     # fused backward skip their FLOPs). 0.0 restores strict reference math.
     cull_eps: float = 1e-4
+    # Batch K optimizer steps into one device dispatch via lax.scan for
+    # non-patch iterations (small N_rand cannot feed the chip one step at a
+    # time; K*N_rand ~ 16k is the throughput sweet spot — PERF.md). 0 = auto
+    # (min(32, 16384 // N_rand)); 1 = off. RNG folds per inner step, so the
+    # loss trajectory is identical to unbatched at print precision.
+    steps_per_dispatch: int = 0
     profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
     debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)
 

@@ -196,11 +196,13 @@ def _validate_flags(cfg: TrainConfig) -> None:
         # run_nerf.py:1245-1246 exits with the same message.
         raise ValueError("FEATURE LOSS TYPE CAN BE vgg OR lpips")
     if (cfg.feature_loss and cfg.feature_loss_type == "lpips"
-            and cfg.lpips_backbone != "alex"):
+            and cfg.lpips_backbone not in ("alex", "vgg")):
+        # run_nerf.py:1242 accepts net=alex|vgg|squeeze; squeeze
+        # (SqueezeNet) has no Flax backbone here and is rejected explicitly.
         raise ValueError(
             f"lpips_backbone={cfg.lpips_backbone!r} is not implemented; the "
-            "Flax LPIPS here ships the reference default backbone 'alex' "
-            "(run_nerf.py:1242).")
+            "Flax LPIPS here ships 'alex' (the reference default, "
+            "run_nerf.py:1242) and 'vgg' (VGG16). 'squeeze' is unsupported.")
     if (cfg.feature_loss and cfg.feature_loss_type == "lpips"
             and min(cfg.nH, cfg.nW) < 31):
         raise ValueError(
@@ -330,7 +332,38 @@ def train(cfg: TrainConfig):
             vgg_params = replicate(mesh, vgg_params)
         print(f"ray-DP mesh over {mesh.devices.size} devices")
 
-    base_step, select = build_step_fns(cfg, rcfg, models, scene.hwf, mesh=mesh)
+    plan = build_step_fns(cfg, rcfg, models, scene.hwf, mesh=mesh)
+
+    # ---- K-step dispatch batching (non-patch iterations) ----
+    # One dispatch per N_rand-ray step cannot feed the chip at the
+    # reference's shipped N_rand=1024 (configs/fern_dsnerf.txt:6): batch K
+    # steps per dispatch via lax.scan so K*N_rand rides the ~16k-ray
+    # throughput sweet spot (PERF.md). Blocks never cross a loss-schedule
+    # variant switch or a logging/checkpoint boundary.
+    k_auto = min(32, max(1, 16384 // max(1, cfg.N_rand)))
+    k_max = cfg.steps_per_dispatch if cfg.steps_per_dispatch > 0 else k_auto
+
+    def _is_boundary(j: int) -> bool:
+        for n in (cfg.i_print, cfg.i_weights, cfg.i_testset, cfg.i_img,
+                  cfg.i_video):
+            if n > 0 and j % n == 0:
+                return True
+        return j >= cfg.N_iters
+
+    def _block_len(i: int, key) -> int:
+        if any(key[:3]) or k_max <= 1:
+            return 1
+        k = 1
+        while k < k_max:
+            j = i + k
+            if j > cfg.N_iters or plan.variant_key(j) != key:
+                break
+            if _is_boundary(j - 1):  # the block may END on a boundary
+                break
+            k += 1
+        # Snap to a power of two: distinct k values each compile their own
+        # scan, so bound the set to {1, 2, 4, ..., k_max}.
+        return 1 << (k.bit_length() - 1)
 
     writer = None
     try:
@@ -345,12 +378,24 @@ def train(cfg: TrainConfig):
         jax.profiler.start_trace(cfg.profile_dir)
     t0 = time.time()
     rays_done = 0
-    for i in range(start + 1, cfg.N_iters + 1):
-        step_fn, needs_patch = select(i)
-        patch = _make_patch_batch(cfg, scene, host_rng) if needs_patch else None
-        state, metrics = step_fn(state, rgb_table, depth_table, patch,
-                                 vgg_params, jax.random.fold_in(rng, i))
-        rays_done += cfg.N_rand
+    i = start + 1
+    while i <= cfg.N_iters:
+        key = plan.variant_key(i)
+        k = _block_len(i, key)
+        if k > 1:
+            step_fn = plan.get_multi(k, key[3])
+            state, metrics = step_fn(
+                state, rgb_table, depth_table, None, vgg_params, rng,
+                jnp.arange(i, i + k, dtype=jnp.int32))
+            metrics = {kk: v[-1] for kk, v in metrics.items()}
+        else:
+            step_fn, needs_patch = plan.select(i)
+            patch = (_make_patch_batch(cfg, scene, host_rng)
+                     if needs_patch else None)
+            state, metrics = step_fn(state, rgb_table, depth_table, patch,
+                                     vgg_params, jax.random.fold_in(rng, i))
+        rays_done += cfg.N_rand * k
+        i += k - 1  # i = last iteration of the block for event handling
 
         if i % cfg.i_print == 0:
             maps = {k: np.asarray(v) for k, v in metrics.items()
@@ -414,6 +459,8 @@ def train(cfg: TrainConfig):
             rgbs, disps = render_path(models, state.params, scene.render_poses,
                                       scene.hwf, rcfg)
             _write_videos(expdir, f"{cfg.expname}_spiral_{i:06d}_", rgbs, disps)
+
+        i += 1
 
     if cfg.profile_dir:
         jax.profiler.stop_trace()

@@ -62,6 +62,15 @@ class StepFns(NamedTuple):
     patch: Any  # + (patch, vgg_params); None if no patch losses configured
 
 
+class StepPlan(NamedTuple):
+    """What build_step_fns hands the train loop."""
+
+    base: Any  # the no-patch, no-precrop single-step fn
+    select: Any  # i -> (step_fn, needs_patch)
+    variant_key: Any  # i -> (feature_on, gan_on, smooth_on, precrop_on)
+    get_multi: Any  # (k, precrop_on) -> K-step scan fn
+
+
 def _sigma_loss_term(cfg, rcfg, models, params, rays, target_depth, rng):
     """DS-NeRF sigma loss: sample [near, gt_depth], query the fine field
     (loss.py:15-44)."""
@@ -108,12 +117,24 @@ def make_train_step(
     smooth_on: bool = False,
     precrop_on: bool = False,
     mesh=None,
+    k_steps: int = 1,
 ):
     """Build one jitted step for a given loss-schedule variant.
 
     With ``mesh``, the gathered ray batch is sharding-constrained over the
     mesh's ray axis so GSPMD partitions render + backward data-parallel and
     emits the gradient psum over ICI (see ``parallel/mesh.py``).
+
+    With ``k_steps > 1`` (non-patch variants only) the returned function runs
+    K optimizer steps in ONE device dispatch via ``lax.scan`` — signature
+    ``(state, rgb_table, depth_table, patch=None, vgg_params, rng, iters)``
+    where ``iters`` is the [K] int32 vector of global iteration indices; the
+    per-step RNG is ``fold_in(rng, iters[k])``, exactly the key the unbatched
+    loop would have passed, so the loss trajectory is identical at print
+    precision. Metrics come back stacked [K]. This exists because one
+    dispatch per small step cannot feed the chip (the reference's shipped
+    N_rand=1024, configs/fern_dsnerf.txt:6, runs ~8x below the 16k-ray
+    throughput shape — PERF.md "small-batch bound").
     """
     shard_rays = ray_sharder(mesh)
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
@@ -316,8 +337,12 @@ def make_train_step(
         prays = make_rays(ro, rd, rcfg, H, W, focal)
         ng_rays = shard_rays(jax.tree.map(lambda x: x[patch.perm[n_grad:]], prays))
         p = jax.lax.stop_gradient(params)
+        # Eval-mode tiles: the no-grad render dominates patch iterations
+        # (run_nerf.py:1600-1644 equivalent), and the primal-only fused
+        # forward keeps no activations, so the 16k-ray render sweet spot is
+        # safe — the old 4096 cap ran the chip ~4x under-fed (PERF.md).
         return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
-                                 rng=rng, tile=min(4096, rcfg.render_tile()))
+                                 rng=rng, tile=min(16384, rcfg.render_tile()))
 
     def disc_step(state, gt_patch, fake_patches, rng):
         """Discriminator update on detached patches (run_nerf.py:1779-1816)."""
@@ -342,6 +367,35 @@ def make_train_step(
         upd, new_dopt = disc_opt.update(g, state.disc_opt_state, state.disc_params)
         new_dp = optax.apply_updates(state.disc_params, upd)
         return state.replace(disc_params=new_dp, disc_opt_state=new_dopt), ld
+
+    if k_steps > 1:
+        if patch_mode:
+            raise ValueError("k_steps batching applies to non-patch variants")
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi_step_fn(state: TrainState, rgb_table: RgbRayTable,
+                          depth_table: Optional[DepthRayTable],
+                          patch, vgg_params, rng, iters):
+            del patch
+
+            def body(st, it):
+                # Same key derivation as the unbatched loop + step:
+                # fold_in(rng, i) then split(·, 3)[1] is the loss key.
+                _, k_loss, _ = jax.random.split(
+                    jax.random.fold_in(rng, it), 3)
+                grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+                (_, (metrics, _)), grads = grad_fn(
+                    st.params, st.step, rgb_table, depth_table, None, None,
+                    vgg_params, st.disc_params, k_loss)
+                upd, new_opt = optimizer.update(grads, st.opt_state,
+                                                st.params)
+                st = st.replace(params=optax.apply_updates(st.params, upd),
+                                opt_state=new_opt, step=st.step + 1)
+                return st, metrics
+
+            return jax.lax.scan(body, state, iters)
+
+        return multi_step_fn
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, rgb_table: RgbRayTable,
@@ -380,6 +434,7 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
     """
     base = make_train_step(cfg, rcfg, models, hwf, mesh=mesh)
     variants = {(False, False, False, False): base}
+    multi_variants = {}
 
     def get_variant(feature_on, gan_on, smooth_on, precrop_on):
         key = (feature_on, gan_on, smooth_on, precrop_on)
@@ -391,14 +446,27 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
             )
         return variants[key]
 
-    def select(i: int):
+    def variant_key(i: int):
         feature_on = bool(cfg.feature_loss and i >= cfg.feature_start_iteration
                           and i % cfg.feature_loss_every_n == 0)
         gan_on = bool(cfg.gan_loss and i >= cfg.gan_start_iteration)
         smooth_on = bool(cfg.depth_inverse_loss
                          and i % cfg.depth_inverse_loss_every_n == 0)
         precrop_on = bool(cfg.no_batching and i < cfg.precrop_iters)
-        fn = get_variant(feature_on, gan_on, smooth_on, precrop_on)
-        return fn, (feature_on or gan_on or smooth_on)
+        return (feature_on, gan_on, smooth_on, precrop_on)
 
-    return base, select
+    def select(i: int):
+        key = variant_key(i)
+        fn = get_variant(*key)
+        return fn, any(key[:3])
+
+    def get_multi(k: int, precrop_on: bool):
+        """K-step scan variant (non-patch only; one per (k, precrop))."""
+        mkey = (k, precrop_on)
+        if mkey not in multi_variants:
+            multi_variants[mkey] = make_train_step(
+                cfg, rcfg, models, hwf, mesh=mesh, precrop_on=precrop_on,
+                k_steps=k)
+        return multi_variants[mkey]
+
+    return StepPlan(base, select, variant_key, get_multi)

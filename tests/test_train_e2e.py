@@ -30,6 +30,9 @@ def _tiny_cfg(scene_dir, tmp_path, **kw):
         netdepth_fine=2, netwidth_fine=48, use_viewdirs=True, no_ndc=True,
         N_iters=60, i_print=30, i_weights=60, i_testset=0, i_video=0,
         lrate=5e-3, multires=6, multires_views=2, should_seed=True,
+        # Keep CPU test compiles cheap: K-step dispatch batching has its own
+        # dedicated tests (test_k_step_*).
+        steps_per_dispatch=1,
     )
     base.update(kw)
     return TrainConfig(**base)
@@ -61,6 +64,40 @@ def test_train_rgb_only_psnr_climbs(scene_dir, tmp_path, capsys):
     assert last > first + 2.0, outp
     assert last > 18.0, outp
     assert int(state.step) == 200
+
+
+def test_k_step_batching_matches_unbatched(scene_dir, tmp_path):
+    """steps_per_dispatch>1 (lax.scan K steps per dispatch) must reproduce
+    the unbatched trajectory: RNG folds per inner step with the global
+    iteration index, so parameters match at float tolerance."""
+    import jax
+
+    cfg1 = _tiny_cfg(scene_dir, tmp_path / "a", N_iters=24, i_weights=24,
+                     i_print=24, colmap_depth=True, depth_loss=True,
+                     steps_per_dispatch=1)
+    s1 = train(cfg1)
+    cfgk = _tiny_cfg(scene_dir, tmp_path / "b", N_iters=24, i_weights=24,
+                     i_print=24, colmap_depth=True, depth_loss=True,
+                     steps_per_dispatch=8)
+    sk = train(cfgk)
+    assert int(s1.step) == int(sk.step) == 24
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(sk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_k_step_blocks_respect_patch_schedule(scene_dir, tmp_path):
+    """Blocks must not cross a loss-variant switch: a feature-loss-every-5
+    run with batching on still executes its patch iterations."""
+    cfg = _tiny_cfg(
+        scene_dir, tmp_path, N_iters=20, i_weights=20, i_print=20,
+        feature_loss=True, feature_start_iteration=1, feature_loss_every_n=5,
+        vgg_layers=["conv1_2"], vgg_layer_weights=[1.0], vgg_loss_type="l1",
+        nH=12, nW=16, gradH=4, gradW=4, steps_per_dispatch=0,
+    )
+    state = train(cfg)
+    assert int(state.step) == 20
 
 
 def test_train_with_depth_and_semantic(scene_dir, tmp_path):
@@ -141,17 +178,30 @@ def scene_dir_big(tmp_path_factory):
     return str(d)
 
 
-def test_lpips_feature_loss_train(scene_dir_big, tmp_path):
+@pytest.mark.parametrize("backbone", ["alex", "vgg"])
+def test_lpips_feature_loss_train(scene_dir_big, tmp_path, backbone):
     """--feature_loss_type lpips as the train-time patch loss, with spatial
-    map logging (run_nerf.py:1240-1246, 1708-1721)."""
+    map logging, over both implemented backbones (run_nerf.py:1240-1246,
+    1242 net=alex|vgg, 1708-1721)."""
     cfg = _tiny_cfg(
         scene_dir_big, tmp_path, N_iters=10, i_weights=10, i_print=5,
         feature_loss=True, feature_start_iteration=1, feature_loss_every_n=5,
         feature_loss_type="lpips", lpips_spatial=True,
+        lpips_backbone=backbone,
         nH=32, nW=32, gradH=4, gradW=4,
     )
     state = train(cfg)
     assert int(state.step) == 10
+
+
+def test_lpips_squeeze_backbone_rejected(scene_dir_big, tmp_path):
+    """run_nerf.py:1242 also accepts net=squeeze; here it must be rejected
+    with a clear message, not fail deep in model build."""
+    cfg = _tiny_cfg(scene_dir_big, tmp_path, feature_loss=True,
+                    feature_loss_type="lpips", lpips_backbone="squeeze",
+                    nH=32, nW=32, gradH=4, gradW=4)
+    with pytest.raises(ValueError, match="squeeze"):
+        train(cfg)
 
 
 def test_lpips_feature_loss_has_gradient(scene_dir_big, tmp_path):
