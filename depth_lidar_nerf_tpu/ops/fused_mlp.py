@@ -171,9 +171,15 @@ def _bwd_kernel(depth, dtype, x_ref, g_ref, *refs):
 # --------------------------------------------------------------- packing
 
 def supports(params, use_viewdirs: bool, num_semantic: int, depth: int,
-             width: int, S: int, multires: int, multires_views: int) -> bool:
-    """Whether the fused kernel covers this model shape."""
+             width: int, S: int, multires: int, multires_views: int,
+             skips=()) -> bool:
+    """Whether the (v3 packed-encoding) fused kernel covers this model shape.
+
+    Live skip concats (any ``s in skips`` with ``s < depth - 1``) are v4-only
+    (``fused_mlp_t.supports_rays``); this kernel rejects them."""
     if not use_viewdirs or num_semantic > 0 or depth > 4 or depth < 1:
+        return False
+    if any(0 <= s < depth - 1 for s in (skips or ())):
         return False
     if S != -1 and (S <= 0 or _TILE % S != 0):
         return False  # S=-1: defer the sample-count check to apply time

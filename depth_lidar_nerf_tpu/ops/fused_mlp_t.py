@@ -144,9 +144,13 @@ def _encode_t(xt, n_freq, dtype):
     For bf16 kernels the sin/cos of the octave ladder come from the
     double-angle recurrence (sin 2a = 2 sin a cos a, cos 2a = 1 - 2 sin^2 a):
     2 transcendentals + 3(n-1) FMA rows instead of 2*3n transcendentals. The
-    f32 recurrence error (~2^n ulps, ~1e-4 by octave 9) is far below the
-    bf16 cast's 3.9e-3 quantum, so the stored encoding is unchanged;
-    f32 kernels keep the exact direct path.
+    f32 recurrence error (~2^n ulps, ~1e-4 absolute by octave 9) is below
+    the bf16 RELATIVE quantum for typical magnitudes, but near zero
+    crossings of high octaves (|sin| ~ 1e-3) it can exceed bf16 resolution
+    — so stored encodings are within parity tolerance of the direct path,
+    not bit-identical (measured vs f64: recurrence 7.81e-3 max error, direct
+    f32 8.21e-3, both dominated by the bf16 cast). f32 kernels keep the
+    exact direct path.
     """
     hi = xt.astype(dtype)
     if _ENC_RECUR and dtype == jnp.bfloat16:
@@ -173,16 +177,26 @@ def _expand_matrix(R, S, dtype):
     return ((t_idx // S) == r_idx).astype(dtype)
 
 
-def _unflatten(flat, depth):
+def _live_skips(depth, skips):
+    """Skip layers whose concat is consumed by a TRUNK layer (reference
+    run_nerf_helpers.py:101-105: concat after layer s feeds layer s+1, so a
+    skip is live iff s < depth - 1; netdepth=4 with skips=(4,) has none)."""
+    return tuple(sorted(s for s in (skips or ()) if 0 <= s < depth - 1))
+
+
+def _unflatten(flat, depth, skips=()):
+    ls = _live_skips(depth, skips)
     (w1, b1) = flat[:2]
     tw = list(flat[2:2 + depth - 1])
     tb = list(flat[2 + depth - 1:2 + 2 * (depth - 1)])
-    (wfs, bfs, wsig, wvf, wve, bv, wr, br) = flat[2 + 2 * (depth - 1):]
-    return (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br)
+    o = 2 + 2 * (depth - 1)
+    sw = dict(zip(ls, flat[o:o + len(ls)]))
+    (wfs, bfs, wsig, wvf, wve, bv, wr, br) = flat[o + len(ls):]
+    return (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br)
 
 
-def _n_ws(depth):
-    return 2 + 2 * (depth - 1) + 8
+def _n_ws(depth, skips=()):
+    return 2 + 2 * (depth - 1) + len(_live_skips(depth, skips)) + 8
 
 
 def _forward_tile(spec, xt, vt, ws):
@@ -193,8 +207,8 @@ def _forward_tile(spec, xt, vt, ws):
     operands). Accumulators stay f32 — Mosaic's tpu.matmul requires a 32-bit
     acc — with one relu+cast VPU pass per layer.
     """
-    depth, dtype, S, R = spec
-    (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
+    depth, dtype, S, R = spec[:4]
+    (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
     W = wfs.shape[0]
 
     relu = _relu_cast
@@ -202,7 +216,12 @@ def _forward_tile(spec, xt, vt, ws):
     h = relu(_dot_c0(enc_x, w1) + b1, dtype)
     acts = [h]
     for i in range(depth - 1):
-        h = relu(_dot(h, tw[i]) + tb[i], dtype)
+        acc = _dot(h, tw[i]) + tb[i]
+        if i in sw:
+            # Skip concat [x, h] (run_nerf_helpers.py:105) as a second
+            # matmul on the encoding rows — no concat tile needed.
+            acc = acc + _dot_c0(enc_x, sw[i])
+        h = relu(acc, dtype)
         acts.append(h)
 
     feat = (_dot(h, wfs) + bfs).astype(dtype)  # [T, W]
@@ -222,9 +241,13 @@ def _forward_tile(spec, xt, vt, ws):
     return out, (enc_x, acts, feat, hv, enc_v, E)
 
 
+def _spec_skips(spec):
+    return spec[4] if len(spec) > 4 else ()
+
+
 def _fwd_kernel(spec, xt_ref, vt_ref, *refs):
     out_ref = refs[-1]
-    ws = _unflatten([r[:] for r in refs[:-1]], spec[0])
+    ws = _unflatten([r[:] for r in refs[:-1]], spec[0], _spec_skips(spec))
     out, _ = _forward_tile(spec, xt_ref[:], vt_ref[:], ws)
     out_ref[:] = out
 
@@ -232,8 +255,8 @@ def _fwd_kernel(spec, xt_ref, vt_ref, *refs):
 def _bwd_tile_body(spec, xt, vt, g, ws):
     """Recompute-forward + weight-grad math for one tile; returns the flat
     per-tile gradient list (same order as :func:`_pack_params`)."""
-    depth, dtype, S, R = spec
-    (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
+    depth, dtype, S, R = spec[:4]
+    (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
     W = wfs.shape[0]
 
     g = g.astype(jnp.float32)
@@ -269,26 +292,31 @@ def _bwd_tile_body(spec, xt, vt, g, ws):
         preferred_element_type=jnp.float32)
     dtw = [None] * (depth - 1)
     dtb = [None] * (depth - 1)
+    dsw = {}
     for li in range(depth - 1, 0, -1):
         dh = _mask_cast(acts[li].astype(jnp.float32) > 0, dh, dtype)
         dtw[li - 1] = jax.lax.dot_general(
             acts[li - 1], dh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        if (li - 1) in sw:
+            # The x half of the skip concat: grads to the encoding rows;
+            # the encoding itself has no cotangent (inputs are nondiff).
+            dsw[li - 1] = _dot(enc_x, dh)
         dh = _dot_b_t(dh, tw[li - 1])
     dh = _mask_cast(acts[0].astype(jnp.float32) > 0, dh, dtype)
     dw1 = _dot(enc_x, dh)  # [3 + 6n_p, W]
     db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
 
-    return [dw1, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
-            dbr]
+    return [dw1, db1, *dtw, *dtb, *[dsw[k] for k in sorted(dsw)],
+            dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr, dbr]
 
 
 def _bwd_kernel(spec, xt_ref, vt_ref, g_ref, *refs):
-    depth = spec[0]
-    n_w = _n_ws(depth)
+    depth, skips = spec[0], _spec_skips(spec)
+    n_w = _n_ws(depth, skips)
     w_refs, d_refs = refs[:n_w], refs[n_w:]
-    ws = _unflatten([r[:] for r in w_refs], depth)
+    ws = _unflatten([r[:] for r in w_refs], depth, skips)
     flat = _bwd_tile_body(spec, xt_ref[:], vt_ref[:], g_ref[:], ws)
 
     i = pl.program_id(0)
@@ -307,8 +335,8 @@ def _bwd_kernel_culled(spec, nSB, flags_ref, xt_ref, vt_ref, g_ref, *refs):
     for tiles holding at least one live cotangent; dead tiles skip the whole
     recompute + grad body (exact — their contribution is identically zero)."""
     del nSB
-    depth = spec[0]
-    n_w = _n_ws(depth)
+    depth, skips = spec[0], _spec_skips(spec)
+    n_w = _n_ws(depth, skips)
     w_refs, d_refs = refs[:n_w], refs[n_w:]
     i = pl.program_id(0)
 
@@ -319,7 +347,7 @@ def _bwd_kernel_culled(spec, nSB, flags_ref, xt_ref, vt_ref, g_ref, *refs):
 
     @pl.when(flags_ref[i] != 0)
     def _():
-        ws = _unflatten([r[:] for r in w_refs], depth)
+        ws = _unflatten([r[:] for r in w_refs], depth, skips)
         flat = _bwd_tile_body(spec, xt_ref[:], vt_ref[:], g_ref[:], ws)
         for ref, val in zip(d_refs, flat):
             ref[:] = ref[:] + val
@@ -327,17 +355,27 @@ def _bwd_kernel_culled(spec, nSB, flags_ref, xt_ref, vt_ref, g_ref, *refs):
 
 # --------------------------------------------------------------- packing
 
-def _pack_params(params, depth, n_p, n_v, dtype):
+def _pack_params(params, depth, n_p, n_v, dtype, skips=()):
     p = params["params"] if "params" in params else params
     W = p["trunk_0"]["kernel"].shape[1]
+    ls = _live_skips(depth, skips)
+    e_p = 3 + 6 * n_p
 
     # Kernel row order [x | sin | cos]: one stacked first-layer matmul.
     w1 = p["trunk_0"]["kernel"].astype(dtype)[_enc_perm(n_p).argsort()]
     b1 = p["trunk_0"]["bias"].astype(jnp.float32)[None]
 
-    tw = [p[f"trunk_{i}"]["kernel"].astype(dtype) for i in range(1, depth)]
-    tb = [p[f"trunk_{i}"]["bias"].astype(jnp.float32)[None]
-          for i in range(1, depth)]
+    # trunk_{s+1} after a skip has kernel [e_p + W, W]: rows [:e_p] act on
+    # the concat's x half (NeRFMLP concatenates [x, h]) and split off as a
+    # separate row-permuted skip weight; rows [e_p:] stay the trunk matmul.
+    tw, tb, sw = [], [], []
+    for i in range(1, depth):
+        k = p[f"trunk_{i}"]["kernel"].astype(dtype)
+        if (i - 1) in ls:
+            sw.append(k[:e_p][_enc_perm(n_p).argsort()])
+            k = k[e_p:]
+        tw.append(k)
+        tb.append(p[f"trunk_{i}"]["bias"].astype(jnp.float32)[None])
 
     wfs = p["feature"]["kernel"].astype(dtype)  # [W, W]
     bfs = p["feature"]["bias"].astype(jnp.float32)[None]
@@ -353,16 +391,18 @@ def _pack_params(params, depth, n_p, n_v, dtype):
     br = jnp.zeros((4, 1), jnp.float32)
     br = br.at[:3, 0].set(p["rgb"]["bias"].astype(jnp.float32))
     br = br.at[3, 0].set(p["sigma"]["bias"].astype(jnp.float32)[0])
-    return [w1, b1, *tw, *tb, wfs, bfs, wsig, wvf, wve, bv, wr, br]
+    return [w1, b1, *tw, *tb, *sw, wfs, bfs, wsig, wvf, wve, bv, wr, br]
 
 
-def _unpack_grads(dws, params, depth, n_p, n_v):
+def _unpack_grads(dws, params, depth, n_p, n_v, skips=()):
     p = params["params"] if "params" in params else params
+    ls = _live_skips(depth, skips)
     (dw1, db1) = dws[:2]
     dtw = dws[2:2 + depth - 1]
     dtb = dws[2 + depth - 1:2 + 2 * (depth - 1)]
-    (dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr, dbr) = dws[
-        2 + 2 * (depth - 1):]
+    o = 2 + 2 * (depth - 1)
+    dsw = dict(zip(ls, dws[o:o + len(ls)]))
+    (dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr, dbr) = dws[o + len(ls):]
     W = p["trunk_0"]["kernel"].shape[1]
 
     def cl(val, ref):
@@ -373,8 +413,13 @@ def _unpack_grads(dws, params, depth, n_p, n_v):
                                    p["trunk_0"]["kernel"]),
                       "bias": cl(db1[0], p["trunk_0"]["bias"])}
     for i in range(1, depth):
+        dk = dtw[i - 1]
+        if (i - 1) in dsw:
+            # Reassemble the Flax [e_p + W, W] skip-layer kernel grad:
+            # encoding rows back in flax order on top, trunk rows below.
+            dk = jnp.concatenate([dsw[i - 1][_enc_perm(n_p)], dk], axis=0)
         out[f"trunk_{i}"] = {
-            "kernel": cl(dtw[i - 1], p[f"trunk_{i}"]["kernel"]),
+            "kernel": cl(dk, p[f"trunk_{i}"]["kernel"]),
             "bias": cl(dtb[i - 1][0], p[f"trunk_{i}"]["bias"])}
     out["feature"] = {"kernel": cl(dwfs, p["feature"]["kernel"]),
                       "bias": cl(dbfs[0], p["feature"]["bias"])}
@@ -410,10 +455,12 @@ def _fwd_impl(params, xt, vt_f, spec):
     two viewdir layouts ``vt_f``/``vt_b``.
     """
     depth, dtype, S, tile_f, n_p, n_v = spec[:6]
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    skips = spec[6] if len(spec) > 6 else ()
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, (depth, dtype, S, tile_f // S)),
+        functools.partial(_fwd_kernel,
+                          (depth, dtype, S, tile_f // S, skips)),
         grid=(P // tile_f,),
         in_specs=[
             pl.BlockSpec((3, tile_f), lambda i: (0, i),
@@ -433,13 +480,14 @@ def _vjp_fwd(params, xt, vt_f, vt_b, spec):
     return _fwd_impl(params, xt, vt_f, spec), (params, xt, vt_b)
 
 
-def _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v):
+def _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v,
+                       skips=()):
     """Dense recompute backward: full-tile grid, returns the param grads."""
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     dws = pl.pallas_call(
-        functools.partial(_bwd_kernel, (depth, dtype, S, _TILE // S)),
+        functools.partial(_bwd_kernel, (depth, dtype, S, _TILE // S, skips)),
         grid=(P // _TILE,),
         in_specs=[
             pl.BlockSpec((3, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -453,16 +501,20 @@ def _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v):
         compiler_params=_cparams(),
         interpret=interpret_mode(),
     )(xt, vt, g, *ws)
-    return _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return _unpack_grads(list(dws), params, depth, n_p, n_v, skips)
 
 
 def _vjp_bwd(spec, res, g):
-    if len(spec) > 6 and spec[6]:
+    # _fused_t spec layout: (depth, dtype, S, tile_f, n_p, n_v[, skips,
+    # cull, sb]).
+    if len(spec) > 7 and spec[7]:
         return _vjp_bwd_culled(spec, res, g)
     params, xt, vt = res
     depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
+    skips = spec[6] if len(spec) > 6 else ()
     P = xt.shape[1]
-    d_params = _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v)
+    d_params = _bwd_dense_dparams(params, xt, vt, g, depth, dtype, S, n_p,
+                                  n_v, skips)
     return (d_params, jnp.zeros_like(xt),
             jnp.zeros((3, (P // _tile_f) * 128), xt.dtype),
             jnp.zeros_like(vt))
@@ -482,19 +534,21 @@ def _vjp_bwd_culled(spec, res, g):
     """
     params, xt, vt = res
     depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
-    SB = spec[7]
+    skips = spec[6] if len(spec) > 6 else ()
+    SB = spec[8]
     d_params = _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p,
-                                   n_v, SB)
+                                   n_v, SB, skips)
     return (d_params, jnp.zeros_like(xt),
             jnp.zeros((3, (xt.shape[1] // _tile_f) * 128), xt.dtype),
             jnp.zeros_like(vt))
 
 
-def _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v, SB):
+def _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v, SB,
+                        skips=()):
     """Cotangent-culled recompute backward (see _vjp_bwd_culled docstring):
     returns the param grads for ray-major ``xt [3, P]`` / ``vt`` (_TILE
     viewdir layout) / ``g [4, P]``."""
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
     N = P // S
     RB = _TILE // SB
@@ -530,7 +584,7 @@ def _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v, SB):
     sb_start = jnp.arange(nSB, dtype=jnp.int32) * SB
     flags = (lmax[:, None] > sb_start[None, :]).astype(jnp.int32).reshape(-1)
 
-    kspec = (depth, dtype, SB, RB)
+    kspec = (depth, dtype, SB, RB, skips)
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -553,7 +607,7 @@ def _bwd_culled_dparams(params, xt, vt, g, depth, dtype, S, n_p, n_v, SB):
         compiler_params=_cparams(),
         interpret=interpret_mode(),
     )(flags, xb, vpad, gb, *ws)
-    return _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return _unpack_grads(list(dws), params, depth, n_p, n_v, skips)
 
 
 _fused_t.defvjp(_vjp_fwd, _vjp_bwd)
@@ -591,10 +645,10 @@ def _fwd_kernel_acts(spec, xt_ref, vt_ref, *refs):
     """Forward that also writes the per-point activations the backward needs:
     trunk layers, feature, and view-branch activations (encodings are
     recomputed in the backward — they are VPU-cheap and 4.5x the traffic)."""
-    depth = spec[0]
-    n_w = _n_ws(depth)
+    depth, skips = spec[0], _spec_skips(spec)
+    n_w = _n_ws(depth, skips)
     w_refs, o_refs = refs[:n_w], refs[n_w:]
-    ws = _unflatten([r[:] for r in w_refs], depth)
+    ws = _unflatten([r[:] for r in w_refs], depth, skips)
     out, (enc_x, acts, feat, hv, _enc_v, _E) = _forward_tile(
         spec, xt_ref[:], vt_ref[:], ws)
     o_refs[0][:] = out
@@ -612,14 +666,15 @@ def _bwd_kernel_acts(spec, xt_ref, vt_ref, g_ref, *refs):
     its gradient into the trunk; see :func:`_fused_t_acts_sem`."""
     depth, dtype, S, R = spec[:4]
     has_gfeat = len(spec) > 4 and spec[4]
-    n_w = _n_ws(depth)
+    skips = spec[5] if len(spec) > 5 else ()
+    n_w = _n_ws(depth, skips)
     w_refs = refs[:n_w]
     a_refs = refs[n_w:n_w + depth + 2]
     rest = refs[n_w + depth + 2:]
     gfeat_ref = rest[0] if has_gfeat else None
     d_refs = rest[1:] if has_gfeat else rest
-    ws = _unflatten([r[:] for r in w_refs], depth)
-    (w1, b1, tw, tb, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
+    ws = _unflatten([r[:] for r in w_refs], depth, skips)
+    (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
 
     acts = [a_refs[i][:] for i in range(depth)]
     feat = a_refs[depth][:]
@@ -661,19 +716,22 @@ def _bwd_kernel_acts(spec, xt_ref, vt_ref, g_ref, *refs):
         preferred_element_type=jnp.float32)
     dtw = [None] * (depth - 1)
     dtb = [None] * (depth - 1)
+    dsw = {}
     for li in range(depth - 1, 0, -1):
         dh = _mask_cast(acts[li].astype(jnp.float32) > 0, dh, dtype)
         dtw[li - 1] = jax.lax.dot_general(
             acts[li - 1], dh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        if (li - 1) in sw:
+            dsw[li - 1] = _dot(enc_x, dh)
         dh = _dot_b_t(dh, tw[li - 1])
     dh = _mask_cast(acts[0].astype(jnp.float32) > 0, dh, dtype)
     dw1 = _dot(enc_x, dh)
     db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
 
-    flat = [dw1, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
-            dbr]
+    flat = [dw1, db1, *dtw, *dtb, *[dsw[k] for k in sorted(dsw)],
+            dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr, dbr]
     i = pl.program_id(0)
     for ref, val in zip(d_refs, flat):
         @pl.when(i == 0)
@@ -702,10 +760,11 @@ def _acts_tile_fwd(S: int) -> int:
 def _fwd_impl_acts(params, xt, vt_a, spec):
     """Forward returning (raw, activation arrays) on the saved-acts tile."""
     depth, dtype, S, tile_f, n_p, n_v = spec[:6]
+    skips = spec[6] if len(spec) > 6 else ()
     tile = _acts_tile_fwd(S)
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
-    W = ws[4].shape[0]  # wfs [W, W]
+    W = ws[2].shape[1]  # any trunk layer's output width
     out_shapes = [jax.ShapeDtypeStruct((4, P), jnp.float32)]
     out_shapes += [jax.ShapeDtypeStruct((P, W), dtype)] * (depth + 1)
     out_shapes += [jax.ShapeDtypeStruct((P, W // 2), dtype)]
@@ -716,7 +775,8 @@ def _fwd_impl_acts(params, xt, vt_a, spec):
     out_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel_acts, (depth, dtype, S, tile // S)),
+        functools.partial(_fwd_kernel_acts,
+                          (depth, dtype, S, tile // S, skips)),
         grid=(P // tile,),
         in_specs=[
             pl.BlockSpec((3, tile), lambda i: (0, i),
@@ -746,10 +806,11 @@ def _vjp_fwd_acts(params, xt, vt_a, vt_f, spec):
 def _bwd_acts_dparams(params, xt, vt_a, acts, g, spec, gfeat=None):
     """Run the saved-acts backward kernel; returns the param grads."""
     depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
+    skips = spec[6] if len(spec) > 6 else ()
     tile = _acts_tile(S)
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
-    W = ws[4].shape[0]
+    W = ws[2].shape[1]
     if _acts_tile_fwd(S) != tile:
         # vt_a was laid out for the forward's tile; re-block for this one.
         Nf = P // S
@@ -767,7 +828,8 @@ def _bwd_acts_dparams(params, xt, vt_a, acts, g, spec, gfeat=None):
                                 memory_space=pltpu.VMEM),)
     dws = pl.pallas_call(
         functools.partial(_bwd_kernel_acts,
-                          (depth, dtype, S, tile // S, gfeat is not None)),
+                          (depth, dtype, S, tile // S, gfeat is not None,
+                           skips)),
         grid=(P // tile,),
         in_specs=[
             pl.BlockSpec((3, tile), lambda i: (0, i),
@@ -784,7 +846,7 @@ def _bwd_acts_dparams(params, xt, vt_a, acts, g, spec, gfeat=None):
         compiler_params=_cparams(),
         interpret=interpret_mode(),
     )(xt, vt_a, g, *ws, *acts, *g_args)
-    return _unpack_grads(list(dws), params, depth, n_p, n_v)
+    return _unpack_grads(list(dws), params, depth, n_p, n_v, skips)
 
 
 def _vjp_bwd_acts(spec, res, g):
@@ -799,80 +861,301 @@ def _vjp_bwd_acts(spec, res, g):
 _fused_t_acts.defvjp(_vjp_fwd_acts, _vjp_bwd_acts)
 
 
-def _fwd_kernel_feat(spec, xt_ref, vt_ref, *refs):
-    depth = spec[0]
+# ------------------------- in-kernel semantic head + unweighted ray sum
+
+def _pack_sem(params, dtype):
+    p = params["params"] if "params" in params else params
+    return [p["semantic_0"]["kernel"].astype(dtype),
+            p["semantic_0"]["bias"].astype(jnp.float32)[None],
+            p["semantic_1"]["kernel"].astype(dtype),
+            p["semantic_1"]["bias"].astype(jnp.float32)[None]]
+
+
+def _sem_head_tile(feat, sem_ws, R, S, dtype):
+    """feat [T, W] -> ray-summed semantic logits [R, C].
+
+    Head math mirrors NeRFMLP / the reference (two Dense layers, no
+    activation between, off the pre-view ``feature`` —
+    run_nerf_helpers.py:107-111); the per-ray reduction is the reference's
+    UNWEIGHTED sum over samples (run_nerf_helpers.py:589), done in-kernel so
+    the [N, S, C] per-point logits tensor never exists in HBM.
+    """
+    ws0, bs0, ws1, bs1 = sem_ws
+    s0 = (_dot(feat, ws0) + bs0).astype(dtype)  # [T, W/2]
+    sem = _dot(s0, ws1) + bs1  # [T, C] f32
+    E = _expand_matrix(R, S, jnp.float32)  # [T, R]
+    return _dot_c0(E, sem)  # [R, C]
+
+
+def _fwd_kernel_sem_only(spec, xt_ref, vt_ref, *refs):
+    """Primal-only semantic forward: raw + ray-summed logits, WITHOUT the
+    backward's activation dump (a no-grad patch/eval render would otherwise
+    pay ~2.8KB/point of dead HBM writes)."""
+    depth, dtype, S, R = spec[:4]
     n_w = _n_ws(depth)
-    w_refs, (raw_ref, feat_ref) = refs[:n_w], refs[n_w:]
+    w_refs = refs[:n_w]
+    sem_refs = refs[n_w:n_w + 4]
+    raw_ref, sem_ref = refs[n_w + 4:]
     ws = _unflatten([r[:] for r in w_refs], depth)
     out, (_enc, _acts, feat, _hv, _ev, _E) = _forward_tile(
         spec, xt_ref[:], vt_ref[:], ws)
     raw_ref[:] = out
-    feat_ref[:] = feat
+    sem_ref[:] = _sem_head_tile(feat, [r[:] for r in sem_refs], R, S, dtype)
 
 
-def _fwd_impl_feat(params, xt, vt_f, spec):
-    """Primal-only semantic forward: raw + feature, WITHOUT the backward's
-    activation dump (a no-grad patch render would otherwise pay ~2.8KB/point
-    of dead HBM writes)."""
-    depth, dtype, S, tile_f, n_p, n_v = spec[:6]
+def _fwd_kernel_acts_sem(spec, xt_ref, vt_ref, *refs):
+    """Acts-dump forward + in-kernel semantic head."""
+    depth, dtype, S, R = spec[:4]
+    n_w = _n_ws(depth)
+    w_refs = refs[:n_w]
+    sem_refs = refs[n_w:n_w + 4]
+    o_refs = refs[n_w + 4:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    out, (_enc, acts, feat, hv, _ev, _E) = _forward_tile(
+        spec, xt_ref[:], vt_ref[:], ws)
+    o_refs[0][:] = out
+    for ref, a in zip(o_refs[1:depth + 3], [*acts, feat, hv]):
+        ref[:] = a
+    o_refs[depth + 3][:] = _sem_head_tile(feat, [r[:] for r in sem_refs],
+                                          R, S, dtype)
+
+
+def _bwd_kernel_acts_sem(spec, xt_ref, vt_ref, g_ref, gsem_ref, *refs):
+    """Saved-acts backward incl. the semantic head: the per-RAY semantic
+    cotangent [R, C] expands to points through the 0/1 matrix (the transpose
+    of the in-kernel ray sum), the head grads accumulate like every other
+    weight, and the head's feature-cotangent re-enters the trunk — all
+    in-kernel, so no [P, W] f32 feature cotangent ever touches HBM (the
+    round-2 out-of-kernel head paid ~2KB/point for that round-trip)."""
+    depth, dtype, S, R = spec[:4]
+    n_w = _n_ws(depth)
+    w_refs = refs[:n_w]
+    sem_refs = refs[n_w:n_w + 4]
+    a_refs = refs[n_w + 4:n_w + 4 + depth + 2]
+    d_refs = refs[n_w + 4 + depth + 2:]
+    ws = _unflatten([r[:] for r in w_refs], depth)
+    (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
+    ws0, bs0, ws1, bs1 = [r[:] for r in sem_refs]
+
+    acts = [a_refs[i][:] for i in range(depth)]
+    feat = a_refs[depth][:]
+    hv = a_refs[depth + 1][:]
+    enc_x = _encode_t(xt_ref[:], (w1.shape[0] - 3) // 6, dtype)
+    enc_v = _encode_t(vt_ref[:, :R], (wve.shape[0] - 3) // 6, dtype)
+    E = _expand_matrix(R, S, dtype)
+
+    g = g_ref[:].astype(jnp.float32)
+    gb = g.astype(dtype)
+    dwr = jax.lax.dot_general(hv, gb, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbr = jnp.sum(g, 1, keepdims=True)
+
+    dhv = jax.lax.dot_general(gb, wr, (((0,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhv = _mask_cast(hv.astype(jnp.float32) > 0, dhv, dtype)
+    dwvf = jax.lax.dot_general(feat, dhv, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbv = jnp.sum(dhv.astype(jnp.float32), 0, keepdims=True)
+    dhv_ray = jax.lax.dot_general(E, dhv, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dtype)
+    dwve = _dot(enc_v, dhv_ray)
+
+    # Semantic head backward: expand the per-ray cotangent, recompute s0
+    # from the streamed feature activation.
+    Ef = _expand_matrix(R, S, jnp.float32)
+    gsem = _dot(Ef, gsem_ref[:].astype(jnp.float32))  # [T, C] f32
+    gsem_b = gsem.astype(dtype)
+    s0 = (_dot(feat, ws0) + bs0).astype(dtype)  # [T, W/2]
+    dws1 = jax.lax.dot_general(s0, gsem_b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbs1 = jnp.sum(gsem, 0, keepdims=True)
+    ds0 = _dot_b_t(gsem_b, ws1)  # [T, W/2] f32 (no activation between)
+    ds0_b = ds0.astype(dtype)
+    dws0 = jax.lax.dot_general(feat, ds0_b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbs0 = jnp.sum(ds0, 0, keepdims=True)
+
+    dfeat_f32 = _dot_b_t(dhv, wvf) + _dot_b_t(ds0_b, ws0)
+    dfeat = dfeat_f32.astype(dtype)
+    h_last = acts[-1]
+    dwfs = jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dbfs = jnp.sum(dfeat.astype(jnp.float32), 0, keepdims=True)
+    dwsig = jax.lax.dot_general(h_last, gb, (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    dh = _dot_b_t(dfeat, wfs) + jax.lax.dot_general(
+        gb, wsig, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dtw = [None] * (depth - 1)
+    dtb = [None] * (depth - 1)
+    for li in range(depth - 1, 0, -1):
+        dh = _mask_cast(acts[li].astype(jnp.float32) > 0, dh, dtype)
+        dtw[li - 1] = jax.lax.dot_general(
+            acts[li - 1], dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        dh = _dot_b_t(dh, tw[li - 1])
+    dh = _mask_cast(acts[0].astype(jnp.float32) > 0, dh, dtype)
+    dw1 = _dot(enc_x, dh)
+    db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+
+    flat = [dw1, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
+            dbr, dws0, dbs0, dws1, dbs1]
+    i = pl.program_id(0)
+    for ref, val in zip(d_refs, flat):
+        @pl.when(i == 0)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(i != 0)
+        def _(ref=ref, val=val):
+            ref[:] = ref[:] + val
+
+
+def _fwd_impl_sem_only(params, xt, vt_f, spec):
+    depth, dtype, S, tile_f, n_p, n_v, C = spec[:7]
+    R = tile_f // S
     ws = _pack_params(params, depth, n_p, n_v, dtype)
+    sem_ws = _pack_sem(params, dtype)
     P = xt.shape[1]
-    W = ws[4].shape[0]
-    raw, feat = pl.pallas_call(
-        functools.partial(_fwd_kernel_feat, (depth, dtype, S, tile_f // S)),
+    raw, sem_ray = pl.pallas_call(
+        functools.partial(_fwd_kernel_sem_only, (depth, dtype, S, R)),
         grid=(P // tile_f,),
         in_specs=[
             pl.BlockSpec((3, tile_f), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[_full_spec(w.shape) for w in ws],
+            *[_full_spec(w.shape) for w in sem_ws],
         ],
         out_specs=(pl.BlockSpec((4, tile_f), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tile_f, W), lambda i: (i, 0),
+                   pl.BlockSpec((R, C), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((4, P), jnp.float32),
-                   jax.ShapeDtypeStruct((P, W), dtype)),
+                   jax.ShapeDtypeStruct((P // S, C), jnp.float32)),
         compiler_params=_cparams(),
         interpret=interpret_mode(),
-    )(xt, vt_f, *ws)
-    return raw, feat
+    )(xt, vt_f, *ws, *sem_ws)
+    return raw, sem_ray
+
+
+def _fwd_impl_acts_sem(params, xt, vt_a, spec):
+    depth, dtype, S, tile_f, n_p, n_v, C = spec[:7]
+    tile = _acts_tile_fwd(S)
+    R = tile // S
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    sem_ws = _pack_sem(params, dtype)
+    P = xt.shape[1]
+    W = ws[2].shape[1]
+    out_shapes = [jax.ShapeDtypeStruct((4, P), jnp.float32)]
+    out_shapes += [jax.ShapeDtypeStruct((P, W), dtype)] * (depth + 1)
+    out_shapes += [jax.ShapeDtypeStruct((P, W // 2), dtype)]
+    out_shapes += [jax.ShapeDtypeStruct((P // S, C), jnp.float32)]
+    out_specs = [pl.BlockSpec((4, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)]
+    out_specs += [pl.BlockSpec((tile, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * (depth + 1)
+    out_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+    out_specs += [pl.BlockSpec((R, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_acts_sem, (depth, dtype, S, R)),
+        grid=(P // tile,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+            *[_full_spec(w.shape) for w in sem_ws],
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_a, *ws, *sem_ws)
+    return outs[0], tuple(outs[1:-1]), outs[-1]
+
+
+def _bwd_acts_sem_dparams(params, xt, vt_a, acts, g, gsem, spec):
+    depth, dtype, S, _tile_f, n_p, n_v, C = spec[:7]
+    tile = _acts_tile(S)
+    R = tile // S
+    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    sem_ws = _pack_sem(params, dtype)
+    P = xt.shape[1]
+    W = ws[2].shape[1]
+    if _acts_tile_fwd(S) != tile:
+        Nf = P // S
+        vr = vt_a.reshape(3, -1, 128)[:, :, :_acts_tile_fwd(S) // S]
+        vt_a = _build_vt(vr.reshape(3, Nf), Nf, S, tile)
+    d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                for w in (*ws, *sem_ws)]
+    a_specs = [pl.BlockSpec((tile, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)] * (depth + 1)
+    a_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    dws = pl.pallas_call(
+        functools.partial(_bwd_kernel_acts_sem, (depth, dtype, S, R)),
+        grid=(P // tile,),
+        in_specs=[
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+            *[_full_spec(w.shape) for w in sem_ws],
+            *a_specs,
+        ],
+        out_specs=tuple(_full_spec(s.shape) for s in d_shapes),
+        out_shape=tuple(d_shapes),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_a, g, gsem, *ws, *sem_ws, *acts)
+    dws = list(dws)
+    d_params = _unpack_grads(dws[:-4], params, depth, n_p, n_v)
+    p = params["params"] if "params" in params else params
+    d = d_params["params"] if "params" in d_params else d_params
+    dws0, dbs0, dws1, dbs1 = dws[-4:]
+    d["semantic_0"] = {
+        "kernel": dws0.astype(p["semantic_0"]["kernel"].dtype),
+        "bias": dbs0[0].astype(p["semantic_0"]["bias"].dtype)}
+    d["semantic_1"] = {
+        "kernel": dws1.astype(p["semantic_1"]["kernel"].dtype),
+        "bias": dbs1[0].astype(p["semantic_1"]["bias"].dtype)}
+    return d_params
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _fused_t_acts_sem(params, xt, vt_a, vt_f, spec):
-    """Like _fused_t_acts but ALSO returns the feature activation [P, W] as a
-    differentiable output, so a semantic head can run outside the kernel
-    (run_nerf_helpers.py:109 taps ``feature`` before view conditioning); its
-    feature cotangent re-enters the trunk via the extended acts backward.
-    Primal-only calls (eval renders) use the feat-only forward."""
-    return _fwd_impl_feat(params, xt, vt_f, spec)
+def _fused_t_sem(params, xt, vt_a, vt_f, spec):
+    """Semantic variant of _fused_t_acts: returns (raw [4, P], ray-summed
+    semantic logits [P/S, C]). Primal-only calls (eval renders) use the
+    no-acts forward; under grad the acts forward + in-kernel-head backward
+    run (see _bwd_kernel_acts_sem)."""
+    return _fwd_impl_sem_only(params, xt, vt_f, spec)
 
 
-def _vjp_fwd_acts_sem(params, xt, vt_a, vt_f, spec):
-    out, acts = _fwd_impl_acts(params, xt, vt_a, spec)
-    return (out, acts[spec[0]]), (params, xt, vt_a, acts)
+def _vjp_fwd_sem(params, xt, vt_a, vt_f, spec):
+    raw, acts, sem_ray = _fwd_impl_acts_sem(params, xt, vt_a, spec)
+    return (raw, sem_ray), (params, xt, vt_a, acts)
 
 
-def _vjp_bwd_acts_sem(spec, res, gs):
-    g, gfeat = gs
+def _vjp_bwd_sem(spec, res, gs):
+    graw, gsem = gs
     params, xt, vt_a, acts = res
     _tile_f = spec[3]
     P = xt.shape[1]
-    d_params = _bwd_acts_dparams(params, xt, vt_a, acts, g, spec,
-                                 gfeat=gfeat.astype(jnp.float32))
-    # Zero cotangents for the semantic head inside the vjp: raw/feat do not
-    # depend on it — its real gradient comes from the out-of-kernel matmuls.
-    p = params["params"] if "params" in params else params
-    d = d_params["params"] if "params" in d_params else d_params
-    for k in ("semantic_0", "semantic_1"):
-        if k in p:
-            d[k] = jax.tree.map(jnp.zeros_like, p[k])
+    d_params = _bwd_acts_sem_dparams(params, xt, vt_a, acts, graw, gsem, spec)
     return (d_params, jnp.zeros_like(xt), jnp.zeros_like(vt_a),
             jnp.zeros((3, (P // _tile_f) * 128), xt.dtype))
 
 
-_fused_t_acts_sem.defvjp(_vjp_fwd_acts_sem, _vjp_bwd_acts_sem)
+_fused_t_sem.defvjp(_vjp_fwd_sem, _vjp_bwd_sem)
 
 
 # ----------------------------------------------- forward transmittance cull
@@ -1028,7 +1311,8 @@ def supports_rays_shape(S: int) -> bool:
 def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
                           width, multires, multires_views,
                           dtype=jnp.bfloat16, cull_bwd=False, fwd_cull=None,
-                          save_acts=False, mesh=None, ray_axis="rays"):
+                          save_acts=False, mesh=None, ray_axis="rays",
+                          skips=()):
     """v4 entry: rays [N, 3] + z [N, S] -> channel-major raw [4, N, S].
 
     Points are computed TRANSPOSED ([3, N, S]) so no [P, small]-lane tensor
@@ -1052,7 +1336,7 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
             _apply_rays_core, depth=depth, width=width, multires=multires,
             multires_views=multires_views, dtype=dtype, cull_bwd=cull_bwd,
             fwd_eps=fwd_cull[3] if fwd_cull is not None else 0.0,
-            save_acts=save_acts)
+            save_acts=save_acts, skips=skips)
         if fwd_cull is None:
             aux_args, aux_specs = (), ()
         else:
@@ -1069,23 +1353,62 @@ def fused_nerf_apply_rays(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
         return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals,
                                 depth=depth, width=width, multires=multires,
                                 multires_views=multires_views, dtype=dtype,
-                                cull_bwd=cull_bwd, save_acts=save_acts)
+                                cull_bwd=cull_bwd, save_acts=save_acts,
+                                skips=skips)
     key, deltas, noise, eps = fwd_cull
     return _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key,
                             deltas, noise, depth=depth, width=width,
                             multires=multires, multires_views=multires_views,
                             dtype=dtype, cull_bwd=cull_bwd, fwd_eps=eps,
-                            save_acts=save_acts)
+                            save_acts=save_acts, skips=skips)
+
+
+def supports_rays(params, use_viewdirs: bool, num_semantic: int, depth: int,
+                  width: int, multires: int, multires_views: int,
+                  skips=()) -> bool:
+    """Whether the v4 per-ray kernels (:func:`fused_nerf_apply_rays`) cover
+    this model shape. Unlike the v3 predicate (``fused_mlp.supports``) this
+    admits the reference's DEFAULT topology — netdepth up to 8 with the
+    skip concat (``run_nerf_helpers.py:77-174``, default netdepth=8 skip@4,
+    ``run_nerf.py:693``) — implemented as a second matmul on the encoding
+    rows at each skip layer."""
+    from depth_lidar_nerf_tpu.ops import fused_mlp
+
+    if not use_viewdirs or num_semantic > 0 or depth > 8 or depth < 1:
+        return False
+    ls = _live_skips(depth, skips)
+    if any(s >= depth - 1 for s in (skips or ()) if s < depth):
+        # A concat consumed by the heads (skip at the LAST trunk layer)
+        # changes the head input width; not implemented.
+        return False
+    e_p, e_v = 3 + 6 * multires, 3 + 6 * multires_views
+    if e_p + e_v > fused_mlp._PACK:
+        return False
+    p = params["params"] if "params" in params else params
+    if "semantic_0" in p:
+        return False
+    if p["trunk_0"]["kernel"].shape[0] != e_p:
+        return False
+    for i in range(1, depth):
+        want = width + (e_p if (i - 1) in ls else 0)
+        if p[f"trunk_{i}"]["kernel"].shape[0] != want:
+            return False
+    if p["views_0"]["kernel"].shape[0] != width + e_v:
+        return False
+    return p["trunk_0"]["kernel"].shape[1] == width and width in (128, 256)
 
 
 def supports_semantic(params, use_viewdirs: bool, depth: int, width: int,
-                      multires: int, multires_views: int) -> bool:
+                      multires: int, multires_views: int,
+                      skips=()) -> bool:
     """Whether the semantic-head acts path (:func:`fused_nerf_apply_rays_semantic`)
     covers this model shape: the base fused topology PLUS semantic_0/1."""
     from depth_lidar_nerf_tpu.ops import fused_mlp
 
     if not use_viewdirs or depth > 4 or depth < 1:
         return False
+    if _live_skips(depth, skips):
+        return False  # semantic acts kernels have no skip variant yet
     p = params["params"] if "params" in params else params
     if "semantic_0" not in p or "semantic_1" not in p:
         return False
@@ -1103,16 +1426,18 @@ def fused_nerf_apply_rays_semantic(params, rays_o, rays_d, viewdirs, z_vals,
                                    *, depth, width, multires, multires_views,
                                    dtype=jnp.bfloat16, mesh=None,
                                    ray_axis="rays"):
-    """Semantic-head variant: returns (raw [4, N, S], semantic [N, S, C]).
+    """Semantic-head variant: returns (raw [4, N, S], ray-summed semantic
+    logits [N, C]).
 
     The reference's semantic head (run_nerf_helpers.py:109: two Dense layers
-    off the pre-view ``feature`` vector) runs OUTSIDE the kernel on the
-    feature activation the saved-acts forward already exports to HBM; its
-    feature cotangent re-enters the trunk through the extended acts backward
-    (``has_gfeat``). Both passes use the saved-acts (no-recompute) backward —
-    transmittance culling is structurally incompatible with the semantic
-    composite (an UNWEIGHTED sum over samples, run_nerf_helpers.py:589, so
-    no sample's cotangent is ever zero).
+    off the pre-view ``feature`` vector) AND its unweighted sum over samples
+    (run_nerf_helpers.py:589) both run IN-KERNEL: the [N, S, C] per-point
+    logits never exist in HBM, and the backward takes the per-ray [N, C]
+    cotangent directly (round 2's out-of-kernel head paid a ~2KB/point f32
+    feature-cotangent HBM round-trip instead). Both passes use the
+    saved-acts (no-recompute) backward — transmittance culling is
+    structurally incompatible with the semantic composite (no sample's
+    cotangent is ever zero).
     """
     if mesh is not None and mesh.size > 1:
         from jax.sharding import PartitionSpec as P_
@@ -1152,21 +1477,15 @@ def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
     vt_f = _build_vt(vdT, n_full, S, tile_f)
     vt_a = (vt_f if _acts_tile_fwd(S) == tile_f
             else _build_vt(vdT, n_full, S, _acts_tile_fwd(S)))
-    spec = (depth, dtype, S, tile_f, multires, multires_views)
-    raw_t, feat = _fused_t_acts_sem(params, ptsT, vt_a, vt_f, spec)
-
-    # Out-of-kernel semantic head, same math as NeRFMLP (bf16 like Flax).
     p = params["params"] if "params" in params else params
-    s0 = _dot(feat, p["semantic_0"]["kernel"].astype(dtype)) \
-        + p["semantic_0"]["bias"].astype(jnp.float32)
-    sem = _dot(s0.astype(dtype), p["semantic_1"]["kernel"].astype(dtype)) \
-        + p["semantic_1"]["bias"].astype(jnp.float32)
+    C = p["semantic_1"]["kernel"].shape[1]
+    spec = (depth, dtype, S, tile_f, multires, multires_views, C)
+    raw_t, sem_ray = _fused_t_sem(params, ptsT, vt_a, vt_f, spec)
 
     raw = raw_t.reshape(4, n_full, S)
-    sem = sem.reshape(n_full, S, -1)
     if n_pad:
-        raw, sem = raw[:, :N], sem[:N]
-    return raw, sem
+        raw, sem_ray = raw[:, :N], sem_ray[:N]
+    return raw, sem_ray
 
 
 def _fwd_tile_size(S: int) -> int:
@@ -1188,13 +1507,16 @@ def _build_vt(viewdirs_t, n_full, S, tile):
 def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
                      deltas=None, noise=None, *, depth, width, multires,
                      multires_views, dtype, cull_bwd, fwd_eps=0.0,
-                     save_acts=False):
+                     save_acts=False, skips=()):
     N, S = z_vals.shape
+    skips = _live_skips(depth, skips)
     sb = min(_SAMPLE_BLOCK, S)
     blocks_ok = S % sb == 0 and _TILE // sb <= 128
     # The cf kernel's viewdir layout assumes exactly 128 rays per block.
+    # (The early-terminating forward has no skip-topology variant: it is
+    # off by default anyway — see cull_fwd_enabled.)
     use_cf = (key is not None and fwd_eps > 0.0 and blocks_ok
-              and _TILE // sb == 128 and cull_fwd_enabled())
+              and _TILE // sb == 128 and cull_fwd_enabled() and not skips)
 
     tile_f = _fwd_tile_size(S)
     # The cf path regroups into (RB x SB) blocks, so rays pad to RB; the
@@ -1234,13 +1556,14 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
         vt_f = _build_vt(vdT, n_full, S, tile_f)
         vt_a = (vt_f if _acts_tile_fwd(S) == tile_f
                 else _build_vt(vdT, n_full, S, _acts_tile_fwd(S)))
-        spec = (depth, dtype, S, tile_f, multires, multires_views)
+        spec = (depth, dtype, S, tile_f, multires, multires_views, skips)
         raw_t = _fused_t_acts(params, ptsT, vt_a, vt_f, spec)
     else:
         # Viewdir layouts for the forward (tile_f) and backward (_TILE) grids.
         vt_f = _build_vt(vdT, n_full, S, tile_f)
         vt_b = vt_f if tile_f == _TILE else _build_vt(vdT, n_full, S, _TILE)
-        spec = (depth, dtype, S, tile_f, multires, multires_views, cull, sb)
+        spec = (depth, dtype, S, tile_f, multires, multires_views, skips,
+                cull, sb)
         raw_t = _fused_t(params, ptsT, vt_f, vt_b, spec)  # [4, P]
     out = raw_t.reshape(4, n_full, S)
     return out[:, :N] if n_pad else out

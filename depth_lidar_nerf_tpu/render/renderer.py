@@ -158,13 +158,14 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
     if (cfg.num_semantic_classes > 0
             and hasattr(model, "apply_rays_semantic")
             and rays.viewdirs is not None and supports_rays_shape(S)
-            and model.supports_raw_semantic(params, cfg)
+            and model.supports_raw_semantic(
+                params, cfg, n_points=z_vals.shape[0] * S)
             and (not hasattr(model, "rays_ok")
                  or model.rays_ok(z_vals.shape[0]))):
-        # Semantic fast path: kernel raw + out-of-kernel semantic head on the
-        # exported feature activation (run_nerf_helpers.py:109), composited
-        # as the reference's UNWEIGHTED sum over samples (:589).
-        raw_t, sem = model.apply_rays_semantic(params, rays, z_vals, cfg)
+        # Semantic fast path: kernel raw + IN-KERNEL semantic head
+        # (run_nerf_helpers.py:109) already composited as the reference's
+        # UNWEIGHTED sum over samples (:589) — sem_map is [N, C] f32.
+        raw_t, sem_map = model.apply_rays_semantic(params, rays, z_vals, cfg)
         noise = None
         if cfg.raw_noise_std > 0.0 and noise_rng is not None:
             noise = jax.random.normal(
@@ -173,10 +174,13 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
             raw_t, z_vals, rays.directions,
             raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
             rng=noise_rng, cull_eps=cfg.cull_eps, noise=noise)
-        return out._replace(
-            semantic=jnp.sum(sem.astype(jnp.float32), axis=-2))
+        return out._replace(semantic=sem_map)
     if (hasattr(model, "apply_rays") and rays.viewdirs is not None
-            and supports_rays_shape(S) and model.supports_raw(params, cfg)
+            and supports_rays_shape(S)
+            # supports_rays_path (v4) also covers the reference-default
+            # netdepth=8/skip@4 topology; supports_raw is the v3 predicate.
+            and getattr(model, "supports_rays_path",
+                        model.supports_raw)(params, cfg)
             and (not hasattr(model, "rays_ok")
                  or model.rays_ok(z_vals.shape[0]))):
         noise = None

@@ -60,7 +60,23 @@ class FusedMLP:
             params, self.module.use_viewdirs,
             self.module.num_semantic_classes, self.module.depth,
             self.module.width, S=-1, multires=cfg.multires,
-            multires_views=cfg.multires_views) is not False
+            multires_views=cfg.multires_views,
+            skips=self.module.skips) is not False
+
+    def supports_rays_path(self, params, cfg) -> bool:
+        """Whether the v4 per-ray kernels cover this call — a superset of
+        :meth:`supports_raw` that also admits the reference-default topology
+        (netdepth 8 with the skip concat, run_nerf_helpers.py:77-174)."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp, fused_mlp_t
+
+        if (jax.default_backend() not in ("tpu", "axon")
+                and not fused_mlp.interpret_mode()):
+            return False
+        return fused_mlp_t.supports_rays(
+            params, self.module.use_viewdirs,
+            self.module.num_semantic_classes, self.module.depth,
+            self.module.width, multires=cfg.multires,
+            multires_views=cfg.multires_views, skips=self.module.skips)
 
     def apply_raw(self, params, pts, viewdirs, cfg):
         """Raw fast path: pts [N, S, 3], unit viewdirs [N, 3] -> raw."""
@@ -72,16 +88,24 @@ class FusedMLP:
             multires_views=cfg.multires_views, dtype=self.module.dtype,
             mesh=self.mesh)
 
-    def supports_raw_semantic(self, params, cfg) -> bool:
-        """Whether the semantic-head acts fast path covers this call."""
+    def supports_raw_semantic(self, params, cfg, n_points=0) -> bool:
+        """Whether the semantic-head acts fast path covers this call.
+
+        ``n_points`` (n_rays * n_samples) applies the same activation-HBM cap
+        as the rgb acts path: a differentiated batch beyond _ACTS_MAX_POINTS
+        would dump ~2.8KB/point of activations, so it falls back to Flax.
+        """
         from depth_lidar_nerf_tpu.ops import fused_mlp, fused_mlp_t
 
         if (jax.default_backend() not in ("tpu", "axon")
                 and not fused_mlp.interpret_mode()):
             return False
+        if n_points > fused_mlp_t._ACTS_MAX_POINTS:
+            return False
         return fused_mlp_t.supports_semantic(
             params, self.module.use_viewdirs, self.module.depth,
-            self.module.width, cfg.multires, cfg.multires_views)
+            self.module.width, cfg.multires, cfg.multires_views,
+            skips=self.module.skips)
 
     def apply_rays_semantic(self, params, rays, z_vals, cfg):
         """Semantic fast path: (raw [4, N, S], semantic logits [N, S, C])."""
@@ -103,7 +127,8 @@ class FusedMLP:
             depth=self.module.depth, width=self.module.width,
             multires=cfg.multires, multires_views=cfg.multires_views,
             dtype=self.module.dtype, cull_bwd=cfg.cull_eps > 0,
-            fwd_cull=fwd_cull, save_acts=save_acts, mesh=self.mesh)
+            fwd_cull=fwd_cull, save_acts=save_acts, mesh=self.mesh,
+            skips=self.module.skips)
 
 
 class FrozenAlphaMLP:
@@ -206,7 +231,8 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
         # replaces the VGG content loss; spatial maps logged when asked.
         from depth_lidar_nerf_tpu.models.lpips import LPIPS
 
-        lpips_mod = LPIPS(spatial=cfg.lpips_spatial)
+        lpips_mod = LPIPS(spatial=cfg.lpips_spatial,
+                          backbone=cfg.lpips_backbone)
 
     if cfg.alpha_model_path:
         # create_nerf's alpha-model branch (run_nerf.py:400-431): load the
@@ -321,13 +347,15 @@ def init_vgg_params(cfg: TrainConfig, models: Models, rng: jax.Array):
         x = jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32)
         params = models.lpips.init(rng, x, x)
         for cand in (os.environ.get("LPIPS_TORCH_WEIGHTS"),
-                     os.path.join(cfg.datadir, "lpips_alex.pth")):
+                     os.path.join(cfg.datadir,
+                                  f"lpips_{cfg.lpips_backbone}.pth")):
             if cand and os.path.exists(cand):
                 from depth_lidar_nerf_tpu.models.lpips import load_torch_lpips
                 from depth_lidar_nerf_tpu.utils.torch_weights import (
                     load_state_dict)
 
-                return load_torch_lpips(params, load_state_dict(cand))
+                return load_torch_lpips(params, load_state_dict(cand),
+                                        backbone=cfg.lpips_backbone)
         return jax.tree.map(jnp.abs, params)
     if models.vgg is None:
         return None

@@ -166,6 +166,7 @@ def test_composite_cull_eps_fused_matches_flax():
     fused = FusedMLP(model)
     # force the fused path on CPU for this test
     fused.supports_raw = lambda p, c: True
+    fused.supports_rays_path = lambda p, c: True
 
     def loss(p, m):
         out = _composite_from_z(m, p, rays, z, cfg, None)
@@ -183,6 +184,70 @@ def test_composite_cull_eps_fused_matches_flax():
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         err = np.abs(a - b).max() / (np.abs(a).mean() + 1e-12)
         assert err < 1e-3, (jax.tree_util.keystr(path), err)
+
+
+def test_fused_v4_skip_topology_matches_flax():
+    """The reference's DEFAULT topology — netdepth=8, skip concat after layer
+    4 (run_nerf_helpers.py:77-174, run_nerf.py:693) — on the v4 kernel:
+    forward and all parameter grads (incl. the [e_p + W, W] skip-layer
+    kernel) match Flax, on both the recompute and saved-acts backwards."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(depth=8, width=64)
+    assert model.skips == (4,)
+    p = params["params"]
+    assert p["trunk_5"]["kernel"].shape[0] == 63 + 64  # live skip concat
+    kw = dict(depth=8, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32, skips=(4,))
+    ref = np.asarray(model.apply(params, pe, veb))
+    got = np.asarray(fused_nerf_apply_rays(params, ro, rd, vd, z, **kw))
+    np.testing.assert_allclose(got.transpose(1, 2, 0), ref, rtol=1e-4,
+                               atol=1e-4)
+
+    for extra in (dict(), dict(save_acts=True)):
+        _grad_compare(
+            lambda p: jnp.mean(jnp.sin(model.apply(p, pe, veb)) ** 2),
+            lambda p: jnp.mean(jnp.sin(
+                fused_nerf_apply_rays(p, ro, rd, vd, z, **kw, **extra)) ** 2),
+            params, tol=1e-3)
+
+
+def test_fused_v4_skip_culled_backward_matches_flax():
+    """Cotangent-culled backward at the skip topology (zero-suffix masks)."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(depth=8, width=64,
+                                                          N=8, S=128)
+    kw = dict(depth=8, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32, skips=(4,))
+    lengths = jnp.array([0, 16, 32, 48, 64, 96, 128, 128])
+    mask = (jnp.arange(128)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    def loss(p):
+        raw = fused_nerf_apply_rays(p, ro, rd, vd, z, cull_bwd=True, **kw)
+        return jnp.mean(jnp.sin(raw * mask[None]) ** 2 * mask[None])
+
+    def loss_ref(p):
+        return jnp.mean(
+            jnp.sin(model.apply(p, pe, veb).transpose(2, 0, 1)
+                    * mask[None]) ** 2 * mask[None])
+
+    _grad_compare(loss_ref, loss, params, tol=1e-3)
+
+
+def test_supports_rays_predicate_skip_topology():
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_rays
+
+    model, params, _ = _setup(depth=8, width=128)
+    assert supports_rays(params, True, 0, 8, 128, 10, 4, skips=(4,))
+    # dead skip (reference shipped KITTI configs: netdepth=4, skips=(4,))
+    m4, p4, _ = _setup(depth=4, width=128)
+    assert supports_rays(p4, True, 0, 4, 128, 10, 4, skips=(4,))
+    # skip at the last trunk layer would change the head input width
+    assert not supports_rays(params, True, 0, 8, 128, 10, 4, skips=(7,))
+    assert not supports_rays(params, True, 0, 9, 128, 10, 4, skips=(4,))
+    # param shape mismatch (skips claim a concat the params don't have)
+    assert not supports_rays(p4, True, 0, 4, 128, 10, 4, skips=(1,))
 
 
 def test_supports_predicate():
@@ -279,6 +344,7 @@ def test_render_rays_fwd_cull_matches_flax(monkeypatch):
     rays = Rays(ro, rd, vd, jnp.full((16, 1), 2.0), jnp.full((16, 1), 6.0))
     fused = FusedMLP(model)
     fused.supports_raw = lambda p, c: True
+    fused.supports_rays_path = lambda p, c: True
     key = jnp.linspace(0.0, 1.0, 16)[::-1]
 
     out_ref = _composite_from_z(model, params, rays, z, cfg, None)
@@ -335,10 +401,10 @@ def _setup_sem(depth=4, width=64, mr=10, mrv=4, N=8, S=128, C=4):
 
 
 def test_fused_semantic_matches_flax():
-    """The semantic fast path (kernel raw + out-of-kernel head on the
-    exported feature activation) matches the Flax module on outputs AND all
-    gradients — including the semantic head's own params and the trunk
-    gradient contribution that flows back through the feature cotangent."""
+    """The semantic fast path (in-kernel head + in-kernel unweighted ray
+    sum) matches the Flax module + XLA sum on outputs AND all gradients —
+    including the semantic head's own params and the trunk gradient
+    contribution that flows back through the head's feature cotangent."""
     from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
         fused_nerf_apply_rays_semantic)
 
@@ -346,16 +412,18 @@ def test_fused_semantic_matches_flax():
     kw = dict(depth=4, width=64, multires=10, multires_views=4,
               dtype=jnp.float32)
     ref = np.asarray(model.apply(params, pe, veb))  # [N, S, 4 + C]
+    ref_map = ref[..., 4:].astype(np.float64).sum(axis=1)  # unweighted sum
     raw, sem = fused_nerf_apply_rays_semantic(params, ro, rd, vd, z, **kw)
     np.testing.assert_allclose(np.asarray(raw).transpose(1, 2, 0),
                                ref[..., :4], rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sem), ref[..., 4:], rtol=1e-4,
-                               atol=1e-4)
+    assert sem.shape == ref_map.shape  # [N, C] ray-summed logits
+    np.testing.assert_allclose(np.asarray(sem), ref_map, rtol=1e-4,
+                               atol=1e-3)
 
     def loss_ref(p):
         out = model.apply(p, pe, veb)
         return (jnp.mean(jnp.sin(out[..., :4]) ** 2)
-                + jnp.mean(out[..., 4:] ** 2))
+                + jnp.mean(jnp.sum(out[..., 4:], axis=1) ** 2))
 
     def loss_fused(p):
         raw, sem = fused_nerf_apply_rays_semantic(p, ro, rd, vd, z, **kw)
@@ -378,7 +446,8 @@ def test_composite_semantic_fused_matches_flax():
                        multires=10, multires_views=4, num_semantic_classes=4)
     rays = Rays(ro, rd, vd, jnp.full((8, 1), 2.0), jnp.full((8, 1), 6.0))
     fused = FusedMLP(model)
-    fused.supports_raw_semantic = lambda p, c: True  # CPU interpret override
+    fused.supports_raw_semantic = \
+        lambda p, c, n_points=0: True  # CPU interpret override
 
     out_ref = _composite_from_z(model, params, rays, z, cfg, None)
     out_f = _composite_from_z(fused, params, rays, z, cfg, None)
