@@ -20,6 +20,10 @@ measured rays/sec on this host's chip divided by the 500k/chip target.
 
 Knobs via env: BENCH_N_RAND (default 16384), BENCH_STEPS (default 30),
 BENCH_WARMUP (default 400), BENCH_DTYPE, BENCH_FUSED, BENCH_CULL.
+BENCH_SEMANTIC=1 benches the TRUE reference-headline stack
+(configs/fern_dsnerf.txt trains with the semantic CE loss on, SURVEY §5):
+adds the 19-class semantic head + CE on both passes, reporting the metric
+as ``train_rays_per_sec_semantic``.
 """
 
 from __future__ import annotations
@@ -50,10 +54,12 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
     cull_eps = 1e-4 if os.environ.get("BENCH_CULL", "1") == "1" else 0.0
+    semantic = os.environ.get("BENCH_SEMANTIC", "0") == "1"
 
     with tempfile.TemporaryDirectory() as d:
         make_scene(d, n_images=4, H=94, W=352, focal=88.0,
-                   n_depth_points=8000, backdrop=True)
+                   n_depth_points=8000, backdrop=True,
+                   num_classes=19 if semantic else None)
         cfg = TrainConfig(
             datadir=d, dataset_type="llff", factor=0, llffhold=0,
             test_scene=[-1],
@@ -61,15 +67,18 @@ def main():
             netwidth=256, netdepth_fine=4, netwidth_fine=256,
             use_viewdirs=True, no_ndc=True, raw_noise_std=1.0,
             colmap_depth=True, depth_loss=True, depth_lambda=0.01,
+            semantic_loss=semantic, semantic_lambda=0.04,
             compute_dtype=dtype, use_fused_mlp=use_fused, cull_eps=cull_eps,
         )
         scene = load_scene(cfg)
         H, W, focal = scene.hwf
-        rcfg = render_config_from(cfg, 0, scene.near, scene.far)
+        rcfg = render_config_from(cfg, scene.num_semantic_classes if semantic
+                                  else 0, scene.near, scene.far)
         models = build_models(cfg, rcfg)
         state = init_train_state(cfg, rcfg, models, jax.random.key(0))
         rgb_t = build_rgb_table(scene.images, scene.poses, scene.i_train,
-                                H, W, focal, rcfg)
+                                H, W, focal, rcfg,
+                                scene.segmentation if semantic else None)
         dep_t = build_depth_table(scene.depth_gts, scene.poses, scene.i_train,
                                   H, W, focal, rcfg)
         step = make_train_step(cfg, rcfg, models, scene.hwf)
@@ -92,7 +101,8 @@ def main():
 
     rays_per_sec = n_rand * n_steps / dt
     print(json.dumps({
-        "metric": "train_rays_per_sec",
+        "metric": ("train_rays_per_sec_semantic" if semantic
+                   else "train_rays_per_sec"),
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 500_000.0, 3),

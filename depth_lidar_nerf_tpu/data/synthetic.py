@@ -72,8 +72,13 @@ def make_scene(
     n_depth_points: int = 300,
     seed: int = 0,
     backdrop: bool = False,
+    num_classes: int | None = None,
 ):
-    """Write a complete synthetic LLFF scene to ``basedir``."""
+    """Write a complete synthetic LLFF scene to ``basedir``.
+
+    ``num_classes`` inflates the DECLARED semantic class count (labels stay
+    0..len(_BLOBS)) so benchmarks can match the KITTI-360 19-class head
+    shape without a 19-blob world."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(basedir, "images"), exist_ok=True)
 
@@ -129,6 +134,7 @@ def make_scene(
     np.save(os.path.join(basedir, "depth_gt.npy"),
             np.array(depth_gts, dtype=object), allow_pickle=True)
     np.save(os.path.join(basedir, "segmentation_gt.npy"),
-            {"segmentations": np.stack(segs), "num_classes": len(_BLOBS) + 1},
+            {"segmentations": np.stack(segs),
+             "num_classes": max(len(_BLOBS) + 1, num_classes or 0)},
             allow_pickle=True)
     return basedir

@@ -1,0 +1,127 @@
+"""Wall-clock-to-quality benchmark (BASELINE.md's ">=5x faster to reference
+PSNR" claim needs a recorded artifact; VERDICT round-2 #9).
+
+Trains the flagship synthetic scene (scripts/flagship_quality.py's
+deterministic 20-view 94x352 KITTI-frame-shaped scene) with the full
+kitti360_full.txt loss stack and records the wall-clock minutes to cross
+held-out PSNR thresholds on this chip, compiling each step variant exactly
+once. Results go into PERF.md so future rounds regress against them.
+
+    python scripts/time_to_quality.py                 # default 30/35/40 dB
+    python scripts/time_to_quality.py --iters 20000 --eval-every 1000
+
+Prints one JSON line per threshold crossing and a final summary table.
+Evaluation renders run off the clock; compile time IS counted (it is real
+wall time a user waits for) and also reported separately.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--thresholds", type=float, nargs="+",
+                    default=[30.0, 35.0, 40.0])
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from depth_lidar_nerf_tpu.data.synthetic import make_scene
+    from depth_lidar_nerf_tpu.evaluation.metrics import psnr_np
+    from depth_lidar_nerf_tpu.train import loop as L
+    from depth_lidar_nerf_tpu.train.config import (parse_args as parse_cfg,
+                                                   render_config_from)
+    from depth_lidar_nerf_tpu.train.state import (build_models,
+                                                  init_train_state,
+                                                  init_vgg_params)
+    from depth_lidar_nerf_tpu.train.step import build_step_fns
+    from depth_lidar_nerf_tpu.train.tables import (build_depth_table,
+                                                   build_rgb_table)
+
+    scene_dir = os.path.join(ROOT, "runs", "flagship_scene")
+    if not os.path.exists(os.path.join(scene_dir, "poses_bounds.npy")):
+        make_scene(scene_dir, n_images=20, H=94, W=352, focal=88.0,
+                   n_depth_points=8000, seed=1, backdrop=True)
+
+    os.chdir(ROOT)
+    cfg = parse_cfg(["--config", "configs/flagship_synthetic.txt"])
+    cfg = cfg.replace(N_iters=args.iters)
+    scene = L.load_scene(cfg)
+    H, W, focal = scene.hwf
+    rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near,
+                              scene.far)
+    rng = jax.random.key(cfg.seed if cfg.should_seed else 0)
+    host_rng = np.random.default_rng(cfg.seed if cfg.should_seed else None)
+
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, rng)
+    vgg_params = init_vgg_params(cfg, models, jax.random.fold_in(rng, 7))
+    rgb_t = build_rgb_table(scene.images, scene.poses, scene.i_train, H, W,
+                            focal, rcfg, scene.segmentation)
+    dep_t = (build_depth_table(scene.depth_gts, scene.poses, scene.i_train,
+                               H, W, focal, rcfg)
+             if cfg.colmap_depth else None)
+    plan = build_step_fns(cfg, rcfg, models, scene.hwf)
+
+    thresholds = sorted(args.thresholds)
+    crossed = {}
+    t_train = 0.0
+    t0_all = time.time()
+
+    def holdout_psnr(params):
+        rgbs, _ = L.render_path(models, params, scene.poses[scene.i_test],
+                                scene.hwf, rcfg)
+        gts = scene.images[scene.i_test]
+        return float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
+
+    for i in range(1, args.iters + 1):
+        step_fn, needs_patch = plan.select(i)
+        patch = (L._make_patch_batch(cfg, scene, host_rng)
+                 if needs_patch else None)
+        t0 = time.time()
+        state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
+                                 jax.random.fold_in(rng, i))
+        if i % 100 == 0 or i == 1:
+            jax.block_until_ready(metrics["loss"])
+        t_train += time.time() - t0
+
+        if i % args.eval_every == 0:
+            p = holdout_psnr(state.params)  # off the clock
+            print(f"[TTQ] iter {i} train_min {t_train / 60:.2f} "
+                  f"psnr {p:.2f}", flush=True)
+            for th in thresholds:
+                if th not in crossed and p >= th:
+                    crossed[th] = (i, t_train / 60.0)
+                    print(json.dumps(
+                        {"threshold_db": th, "iters": i,
+                         "train_minutes": round(t_train / 60.0, 2)}),
+                        flush=True)
+            if all(th in crossed for th in thresholds):
+                break
+
+    print(f"\ntotal wall {((time.time() - t0_all) / 60):.2f} min "
+          f"(train-only {t_train / 60:.2f} min)")
+    print("\n| threshold (dB) | iters | train minutes |")
+    print("|---|---|---|")
+    for th in thresholds:
+        if th in crossed:
+            it, mins = crossed[th]
+            print(f"| {th} | {it} | {mins:.2f} |")
+        else:
+            print(f"| {th} | not reached in {args.iters} | - |")
+
+
+if __name__ == "__main__":
+    main()
