@@ -41,7 +41,8 @@ from depth_lidar_nerf_tpu.train.state import (
     init_train_state,
     init_vgg_params,
 )
-from depth_lidar_nerf_tpu.train.step import PatchBatch, build_step_fns
+from depth_lidar_nerf_tpu.train.step import (PatchBatch, PatchSource,
+                                             build_step_fns)
 from depth_lidar_nerf_tpu.train.tables import build_depth_table, build_rgb_table
 
 
@@ -334,6 +335,19 @@ def train(cfg: TrainConfig):
 
     plan = build_step_fns(cfg, rcfg, models, scene.hwf, mesh=mesh)
 
+    # Device-resident patch source: patch iterations draw their crop/perm
+    # in-jit (step.sample_patch) instead of uploading a fresh gt/perm from
+    # the host every time (~400ms/iter over the axon tunnel — PERF.md r3).
+    patch_source = None
+    if cfg.feature_loss or cfg.gan_loss or cfg.depth_inverse_loss:
+        patch_source = PatchSource(
+            jnp.asarray(scene.images[scene.i_train], jnp.float32),
+            jnp.asarray(scene.poses[scene.i_train], jnp.float32))
+        if mesh is not None:
+            from depth_lidar_nerf_tpu.parallel.mesh import replicate
+
+            patch_source = replicate(mesh, patch_source)
+
     # ---- K-step dispatch batching (non-patch iterations) ----
     # One dispatch per N_rand-ray step cannot feed the chip at the
     # reference's shipped N_rand=1024 (configs/fern_dsnerf.txt:6): batch K
@@ -390,8 +404,7 @@ def train(cfg: TrainConfig):
             metrics = {kk: v[-1] for kk, v in metrics.items()}
         else:
             step_fn, needs_patch = plan.select(i)
-            patch = (_make_patch_batch(cfg, scene, host_rng)
-                     if needs_patch else None)
+            patch = patch_source if needs_patch else None
             state, metrics = step_fn(state, rgb_table, depth_table, patch,
                                      vgg_params, jax.random.fold_in(rng, i))
         rays_done += cfg.N_rand * k

@@ -57,6 +57,35 @@ class PatchBatch(NamedTuple):
     perm: jnp.ndarray  # [nH * nW] int32; first gradH*gradW entries get grads
 
 
+class PatchSource(NamedTuple):
+    """Device-resident train images + poses for IN-JIT patch sampling.
+
+    Building a PatchBatch on the host costs a fresh gt/perm upload over the
+    device link every patch iteration (~400ms/iter over the axon tunnel —
+    measured to dwarf the 110ms jitted patch step). A step variant handed a
+    PatchSource instead derives the image pick, crop origin, permutation and
+    gt crop on device from the step's rng key (the reference's host
+    np.random picks, run_nerf.py:1557-1568, are matched distributionally,
+    same as the ray sampler)."""
+
+    images: jnp.ndarray  # [N_train, H, W, 3] f32
+    poses: jnp.ndarray  # [N_train, 3, 4] f32
+
+
+def sample_patch(src: PatchSource, key, nH: int, nW: int) -> PatchBatch:
+    """Draw the patch-iteration randomness on device (see PatchSource)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_img, H, W, _ = src.images.shape
+    img = jax.random.randint(k1, (), 0, n_img)
+    sh = jax.random.randint(k2, (), 0, H - nH + 1)
+    sw = jax.random.randint(k3, (), 0, W - nW + 1)
+    gt = jax.lax.dynamic_slice(src.images[img],
+                               (sh, sw, jnp.int32(0)), (nH, nW, 3))
+    perm = jax.random.permutation(k4, nH * nW).astype(jnp.int32)
+    return PatchBatch(src.poses[img], gt, sh.astype(jnp.float32),
+                      sw.astype(jnp.float32), perm)
+
+
 class StepFns(NamedTuple):
     base: Any  # (state, rgb_table, depth_table, rng) -> (state, metrics)
     patch: Any  # + (patch, vgg_params); None if no patch losses configured
@@ -402,6 +431,10 @@ def make_train_step(
                 depth_table: Optional[DepthRayTable],
                 patch: Optional[PatchBatch], vgg_params, rng):
         k_ng, k_loss, k_disc = jax.random.split(rng, 3)
+        if patch_mode and isinstance(patch, PatchSource):
+            # In-jit patch sampling: no per-iteration host uploads.
+            patch = sample_patch(patch, jax.random.fold_in(rng, 17),
+                                 cfg.nH, cfg.nW)
         ng_patch = ng_render(state.params, patch, k_ng) if patch_mode else None
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -86,10 +86,16 @@ def main():
         gts = scene.images[scene.i_test]
         return float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
 
+    from depth_lidar_nerf_tpu.train.step import PatchSource
+
+    import jax.numpy as jnp
+
+    patch_source = PatchSource(
+        jnp.asarray(scene.images[scene.i_train], jnp.float32),
+        jnp.asarray(scene.poses[scene.i_train], jnp.float32))
     for i in range(1, args.iters + 1):
         step_fn, needs_patch = plan.select(i)
-        patch = (L._make_patch_batch(cfg, scene, host_rng)
-                 if needs_patch else None)
+        patch = patch_source if needs_patch else None
         t0 = time.time()
         state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
                                  jax.random.fold_in(rng, i))

@@ -240,6 +240,82 @@ def test_lpips_feature_loss_has_gradient(scene_dir_big, tmp_path):
     assert d > 0.0
 
 
+def test_sample_patch_in_jit(scene_dir_big, tmp_path):
+    """In-jit patch sampling (step.sample_patch) must draw a valid crop:
+    gt equals the image slice at the drawn origin, perm is a permutation,
+    and the pose belongs to the drawn image. Matches the reference's host
+    np.random picks (run_nerf.py:1557-1568) distributionally."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.train.step import PatchSource, sample_patch
+
+    cfg = _tiny_cfg(scene_dir_big, tmp_path)
+    scene = load_scene(cfg)
+    src = PatchSource(jnp.asarray(scene.images[scene.i_train], jnp.float32),
+                      jnp.asarray(scene.poses[scene.i_train], jnp.float32))
+    nH, nW = 16, 24
+    seen_origins = set()
+    for seed in range(6):
+        patch = jax.jit(sample_patch, static_argnums=(2, 3))(
+            src, jax.random.key(seed), nH, nW)
+        assert patch.gt_patch.shape == (nH, nW, 3)
+        perm = np.sort(np.asarray(patch.perm))
+        assert (perm == np.arange(nH * nW)).all()
+        sh, sw = int(patch.start_h), int(patch.start_w)
+        seen_origins.add((sh, sw))
+        # the gt crop must be an exact slice of exactly one train image,
+        # and the pose must be that image's pose
+        imgs = np.asarray(src.images)
+        match = [i for i in range(imgs.shape[0])
+                 if np.array_equal(imgs[i, sh:sh + nH, sw:sw + nW],
+                                   np.asarray(patch.gt_patch))]
+        assert len(match) >= 1
+        assert any(np.array_equal(np.asarray(src.poses[i]),
+                                  np.asarray(patch.c2w)) for i in match)
+    assert len(seen_origins) > 1  # the crop origin actually varies
+
+
+def test_patch_step_accepts_patch_source(scene_dir_big, tmp_path):
+    """A patch step handed a PatchSource (device-resident images+poses)
+    must sample in-jit and still deliver gradients — the path train() now
+    uses for every patch iteration (no per-iter host uploads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.train.config import render_config_from
+    from depth_lidar_nerf_tpu.train.state import (
+        build_models, init_train_state, init_vgg_params)
+    from depth_lidar_nerf_tpu.train.step import PatchSource, make_train_step
+    from depth_lidar_nerf_tpu.train.tables import build_rgb_table
+
+    cfg = _tiny_cfg(scene_dir_big, tmp_path, feature_loss=True,
+                    vgg_layers=["conv1_2"], vgg_layer_weights=[1.0],
+                    vgg_loss_type="l1",
+                    nH=32, nW=32, gradH=4, gradW=4, depth_inverse_loss=True)
+    scene = load_scene(cfg)
+    H, W, focal = scene.hwf
+    rcfg = render_config_from(cfg, 0, scene.near, scene.far)
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+    vgg = init_vgg_params(cfg, models, jax.random.key(1))
+    tbl = build_rgb_table(scene.images, scene.poses, scene.i_train, H, W,
+                          focal, rcfg)
+    step = make_train_step(cfg, rcfg, models, scene.hwf, feature_on=True,
+                           smooth_on=True)
+    src = PatchSource(jnp.asarray(scene.images[scene.i_train], jnp.float32),
+                      jnp.asarray(scene.poses[scene.i_train], jnp.float32))
+    p0 = jax.tree.map(lambda x: np.array(x), state.params)
+    state, metrics = step(state, tbl, None, src, vgg, jax.random.key(2))
+    assert float(metrics["feature_loss"]) > 0.0
+    assert np.isfinite(float(metrics["loss"]))
+    d = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(abs(a - np.asarray(b)).sum()),
+                     p0, state.params))
+    assert d > 0.0
+
+
 def test_ft_path_and_no_reload_optimizer(scene_dir, tmp_path):
     """--ft_path pins a checkpoint; --no_reload_optimizer keeps Adam fresh
     (run_nerf.py:449-477, 462)."""
