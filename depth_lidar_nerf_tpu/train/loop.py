@@ -218,6 +218,50 @@ def _validate_flags(cfg: TrainConfig) -> None:
                   "no effect.")
 
 
+def dispatch_k_max(cfg: TrainConfig) -> int:
+    """K-step dispatch batching cap (non-patch iterations).
+
+    One dispatch per N_rand-ray step cannot feed the chip at the
+    reference's shipped N_rand=1024 (configs/fern_dsnerf.txt:6): batch K
+    steps per dispatch via lax.scan so K*N_rand rides the ~16k-ray
+    throughput sweet spot (PERF.md)."""
+    k_auto = min(32, max(1, 16384 // max(1, cfg.N_rand)))
+    return cfg.steps_per_dispatch if cfg.steps_per_dispatch > 0 else k_auto
+
+
+def dispatch_block_len(cfg: TrainConfig, plan, i: int, key,
+                       k_max: Optional[int] = None) -> int:
+    """Length of the batched-dispatch block starting at iteration ``i``.
+
+    Blocks never cross a loss-schedule variant switch or a
+    logging/checkpoint boundary, and snap to a power of two (distinct k
+    values each compile their own scan, so the set is bounded to
+    {1, 2, 4, ..., k_max}). Shared by :func:`train` and the wall-clock
+    benchmarks (scripts/time_to_quality.py) so both measure the same
+    driver."""
+    if k_max is None:
+        k_max = dispatch_k_max(cfg)
+    if any(key[:3]) or k_max <= 1:
+        return 1
+
+    def _is_boundary(j: int) -> bool:
+        for n in (cfg.i_print, cfg.i_weights, cfg.i_testset, cfg.i_img,
+                  cfg.i_video):
+            if n > 0 and j % n == 0:
+                return True
+        return j >= cfg.N_iters
+
+    k = 1
+    while k < k_max:
+        j = i + k
+        if j > cfg.N_iters or plan.variant_key(j) != key:
+            break
+        if _is_boundary(j - 1):  # the block may END on a boundary
+            break
+        k += 1
+    return 1 << (k.bit_length() - 1)
+
+
 def train(cfg: TrainConfig):
     _validate_flags(cfg)
     if cfg.debug_nans or cfg.debug:
@@ -348,36 +392,7 @@ def train(cfg: TrainConfig):
 
             patch_source = replicate(mesh, patch_source)
 
-    # ---- K-step dispatch batching (non-patch iterations) ----
-    # One dispatch per N_rand-ray step cannot feed the chip at the
-    # reference's shipped N_rand=1024 (configs/fern_dsnerf.txt:6): batch K
-    # steps per dispatch via lax.scan so K*N_rand rides the ~16k-ray
-    # throughput sweet spot (PERF.md). Blocks never cross a loss-schedule
-    # variant switch or a logging/checkpoint boundary.
-    k_auto = min(32, max(1, 16384 // max(1, cfg.N_rand)))
-    k_max = cfg.steps_per_dispatch if cfg.steps_per_dispatch > 0 else k_auto
-
-    def _is_boundary(j: int) -> bool:
-        for n in (cfg.i_print, cfg.i_weights, cfg.i_testset, cfg.i_img,
-                  cfg.i_video):
-            if n > 0 and j % n == 0:
-                return True
-        return j >= cfg.N_iters
-
-    def _block_len(i: int, key) -> int:
-        if any(key[:3]) or k_max <= 1:
-            return 1
-        k = 1
-        while k < k_max:
-            j = i + k
-            if j > cfg.N_iters or plan.variant_key(j) != key:
-                break
-            if _is_boundary(j - 1):  # the block may END on a boundary
-                break
-            k += 1
-        # Snap to a power of two: distinct k values each compile their own
-        # scan, so bound the set to {1, 2, 4, ..., k_max}.
-        return 1 << (k.bit_length() - 1)
+    k_max = dispatch_k_max(cfg)
 
     writer = None
     try:
@@ -395,7 +410,7 @@ def train(cfg: TrainConfig):
     i = start + 1
     while i <= cfg.N_iters:
         key = plan.variant_key(i)
-        k = _block_len(i, key)
+        k = dispatch_block_len(cfg, plan, i, key, k_max)
         if k > 1:
             step_fn = plan.get_multi(k, key[3])
             state, metrics = step_fn(

@@ -39,7 +39,7 @@ def main():
     import numpy as np
 
     from depth_lidar_nerf_tpu.data.synthetic import make_scene
-    from depth_lidar_nerf_tpu.evaluation.metrics import psnr_np
+    from depth_lidar_nerf_tpu.evaluation.metrics import psnr
     from depth_lidar_nerf_tpu.train import loop as L
     from depth_lidar_nerf_tpu.train.config import (parse_args as parse_cfg,
                                                    render_config_from)
@@ -84,7 +84,7 @@ def main():
         rgbs, _ = L.render_path(models, params, scene.poses[scene.i_test],
                                 scene.hwf, rcfg)
         gts = scene.images[scene.i_test]
-        return float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
+        return float(np.mean([psnr(r, g) for r, g in zip(rgbs, gts)]))
 
     from depth_lidar_nerf_tpu.train.step import PatchSource
 
@@ -93,13 +93,28 @@ def main():
     patch_source = PatchSource(
         jnp.asarray(scene.images[scene.i_train], jnp.float32),
         jnp.asarray(scene.poses[scene.i_train], jnp.float32))
-    for i in range(1, args.iters + 1):
-        step_fn, needs_patch = plan.select(i)
-        patch = patch_source if needs_patch else None
+    # Same K-step dispatch batching as the real train() driver (the TTQ
+    # number must reflect what a user's run actually costs).
+    cfg = cfg.replace(i_print=args.eval_every, i_testset=0, i_weights=0,
+                      i_img=0, i_video=0)
+    k_max = L.dispatch_k_max(cfg)
+    i = 1
+    while i <= args.iters:
+        key = plan.variant_key(i)
+        k = L.dispatch_block_len(cfg, plan, i, key, k_max)
         t0 = time.time()
-        state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
-                                 jax.random.fold_in(rng, i))
-        if i % 100 == 0 or i == 1:
+        if k > 1:
+            state, metrics = plan.get_multi(k, key[3])(
+                state, rgb_t, dep_t, None, vgg_params, rng,
+                jnp.arange(i, i + k, dtype=jnp.int32))
+            metrics = {kk: v[-1] for kk, v in metrics.items()}
+        else:
+            step_fn, needs_patch = plan.select(i)
+            patch = patch_source if needs_patch else None
+            state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
+                                     jax.random.fold_in(rng, i))
+        i += k - 1
+        if i % 100 == 0 or i <= k:
             jax.block_until_ready(metrics["loss"])
         t_train += time.time() - t0
 
@@ -116,6 +131,7 @@ def main():
                         flush=True)
             if all(th in crossed for th in thresholds):
                 break
+        i += 1
 
     print(f"\ntotal wall {((time.time() - t0_all) / 60):.2f} min "
           f"(train-only {t_train / 60:.2f} min)")
