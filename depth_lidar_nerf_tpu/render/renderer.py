@@ -59,14 +59,24 @@ class RenderConfig:
     # backward skips their FLOPs. 0.0 = strict reference semantics.
     cull_eps: float = 0.0
 
-    def render_tile(self) -> int:
-        """Ray-tile size for :func:`render_rays_tiled` honoring both knobs."""
+    def render_tile(self, fused: bool = False) -> int:
+        """Ray-tile size for :func:`render_rays_tiled` honoring both knobs.
+
+        ``netchunk`` exists to bound the [points, W] activations the
+        reference's torch MLP materializes per apply (run_nerf.py:50-74).
+        The fused kernels stream activations through VMEM in fixed
+        <=8192-point tiles and never put them in HBM, so when every pass of
+        the render takes a fused path (``fused=True``, see
+        :func:`fused_eval_ready`) a lowered netchunk is vacuously satisfied
+        and only ``chunk`` (rays per compiled tile) binds. The reference's
+        own shipped configs set netchunk=16384 (fern_dsnerf.txt:14) as a
+        GPU-memory workaround; honoring it as a literal ray cap on the
+        fused path would mean 128-ray tiles — 243 sequential dispatches for
+        one 94x352 patch render (measured: the no-grad patch render
+        dominated patch iterations, PERF.md round 3)."""
         s_total = max(1, self.N_samples + self.N_importance)
         by_points = max(128, self.netchunk // s_total)
-        # netchunk only binds when the user lowered it below the default
-        # (the fused kernels don't materialize per-point activations in HBM,
-        # so the default netchunk never needs to shrink tiles).
-        if self.netchunk < 1024 * 64:
+        if not fused and self.netchunk < 1024 * 64:
             return max(128, min(self.chunk, by_points))
         return max(128, self.chunk)
 
@@ -210,6 +220,42 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
         cull_eps=cfg.cull_eps)
 
 
+def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
+                     tile: int) -> bool:
+    """True when every pass of a ``tile``-ray render dispatches to the fused
+    kernels, which stream activations through VMEM — so ``netchunk`` (the
+    reference's cap on HBM-materialized [points, W] activations,
+    run_nerf.py:50-74) is vacuously satisfied and need not shrink the ray
+    tile. Mirrors the dispatch predicates of :func:`_composite_from_z`:
+    any mismatch only costs the conservative (smaller-tile) policy, never
+    correctness.
+    """
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_rays_shape
+
+    if not cfg.use_viewdirs:
+        return False
+
+    def pass_ok(m, p, S):
+        if not supports_rays_shape(S):
+            return False
+        if hasattr(m, "rays_ok") and not m.rays_ok(tile):
+            return False
+        if cfg.num_semantic_classes > 0:
+            return (hasattr(m, "apply_rays_semantic")
+                    and m.supports_raw_semantic(p, cfg, n_points=tile * S))
+        return (hasattr(m, "apply_rays")
+                and hasattr(m, "supports_raw")
+                and getattr(m, "supports_rays_path", m.supports_raw)(p, cfg))
+
+    if not pass_ok(model, params["coarse"], cfg.N_samples):
+        return False
+    if cfg.N_importance > 0:
+        fm = fine_model if fine_model is not None else model
+        fp = params["fine"] if fine_model is not None else params["coarse"]
+        return pass_ok(fm, fp, cfg.N_samples + cfg.N_importance)
+    return True
+
+
 def render_rays(
     model,
     fine_model,
@@ -308,7 +354,10 @@ def render_rays_tiled(
     ``rng=None``. With an rng, each tile folds in its index.
     """
     if tile is None:
-        tile = cfg.render_tile()
+        fused_tile = cfg.render_tile(fused=True)
+        tile = (fused_tile
+                if fused_eval_ready(model, fine_model, params, cfg, fused_tile)
+                else cfg.render_tile())
     n = rays.origins.shape[0]
     tile = min(tile, n)
     n_pad = (-n) % tile

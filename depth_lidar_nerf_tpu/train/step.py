@@ -30,6 +30,7 @@ from depth_lidar_nerf_tpu.ops.rays import patch_ray_dirs
 from depth_lidar_nerf_tpu.ops.sampling import stratified_z_vals
 from depth_lidar_nerf_tpu.render.renderer import (
     RenderConfig,
+    fused_eval_ready,
     make_rays,
     query_network,
     render_rays,
@@ -370,8 +371,12 @@ def make_train_step(
         # (run_nerf.py:1600-1644 equivalent), and the primal-only fused
         # forward keeps no activations, so the 16k-ray render sweet spot is
         # safe — the old 4096 cap ran the chip ~4x under-fed (PERF.md).
+        # A fused-ready render also ignores the shipped netchunk=16384 ray
+        # throttle (fern_dsnerf.txt:14 is a GPU-memory workaround).
+        fused = fused_eval_ready(models.coarse, models.fine, p, rcfg, 16384)
         return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
-                                 rng=rng, tile=min(16384, rcfg.render_tile()))
+                                 rng=rng,
+                                 tile=min(16384, rcfg.render_tile(fused=fused)))
 
     def disc_step(state, gt_patch, fake_patches, rng):
         """Discriminator update on detached patches (run_nerf.py:1779-1816)."""

@@ -1,0 +1,89 @@
+"""Unit tests for the K-step dispatch-batching block planner.
+
+The driver batches K non-patch optimizer steps into one lax.scan dispatch
+(PERF.md round 3: 42.5k -> ~327k rays/s at the reference's shipped
+N_rand=1024, configs/fern_dsnerf.txt:6). Blocks must never cross a
+loss-schedule variant switch or a logging/checkpoint boundary, and the set
+of compiled block lengths must stay bounded (powers of two).
+
+The trajectory-equality integration test lives in
+test_train_e2e.py::test_k_step_batching_matches_unbatched.
+"""
+
+from depth_lidar_nerf_tpu.train.config import TrainConfig
+from depth_lidar_nerf_tpu.train.loop import dispatch_block_len, dispatch_k_max
+
+
+class _Plan:
+    """Stub plan: patch variant on multiples of ``every``."""
+
+    def __init__(self, every=0):
+        self.every = every
+
+    def variant_key(self, i):
+        on = bool(self.every and i % self.every == 0)
+        return (on, False, False, False)
+
+
+def _cfg(**kw):
+    base = dict(expname="t", basedir="/tmp", datadir="/tmp",
+                N_rand=1024, N_iters=100000, i_print=100, i_weights=10000,
+                i_testset=0, i_video=0, i_img=0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_k_max_auto_targets_16k_rays():
+    # K*N_rand should ride the ~16k-ray throughput sweet spot.
+    assert dispatch_k_max(_cfg(N_rand=1024)) == 16
+    assert dispatch_k_max(_cfg(N_rand=4096)) == 4
+    assert dispatch_k_max(_cfg(N_rand=16384)) == 1
+    # never more than 32 dispatches batched, never less than 1
+    assert dispatch_k_max(_cfg(N_rand=64)) == 32
+    assert dispatch_k_max(_cfg(N_rand=65536)) == 1
+    # explicit override wins
+    assert dispatch_k_max(_cfg(N_rand=1024, steps_per_dispatch=4)) == 4
+
+
+def test_block_is_power_of_two_and_capped():
+    cfg = _cfg()
+    plan = _Plan()
+    for i in (1, 3, 101, 777):
+        k = dispatch_block_len(cfg, plan, i, plan.variant_key(i))
+        assert k & (k - 1) == 0  # power of two
+        assert 1 <= k <= 16
+
+
+def test_patch_iteration_runs_alone():
+    # A patch-variant iteration must dispatch solo (the patch step has its
+    # own jitted function; scanning it is unsupported).
+    cfg = _cfg()
+    plan = _Plan(every=10)
+    assert dispatch_block_len(cfg, plan, 10, plan.variant_key(10)) == 1
+    # ...and a block starting just after a patch stops before the next one:
+    # iters 11..19 -> 9 available -> snaps to 8.
+    assert dispatch_block_len(cfg, plan, 11, plan.variant_key(11)) == 8
+
+
+def test_block_never_crosses_print_boundary():
+    # i_print=100: a block starting at 97 may only cover 97..100 (the
+    # boundary iteration may END the block) -> 4.
+    cfg = _cfg()
+    plan = _Plan()
+    assert dispatch_block_len(cfg, plan, 97, plan.variant_key(97)) == 4
+    # starting at 100 the block ends immediately on the boundary
+    assert dispatch_block_len(cfg, plan, 100, plan.variant_key(100)) == 1
+
+
+def test_block_never_crosses_n_iters():
+    cfg = _cfg(N_iters=1003)
+    plan = _Plan()
+    k = dispatch_block_len(cfg, plan, 1001, plan.variant_key(1001))
+    assert 1001 + k - 1 <= 1003
+    assert k == 2  # 1001..1003 is 3 iters -> snaps to 2
+
+
+def test_batching_disabled():
+    cfg = _cfg(steps_per_dispatch=1)
+    plan = _Plan()
+    assert dispatch_block_len(cfg, plan, 5, plan.variant_key(5)) == 1

@@ -381,6 +381,50 @@ def test_chunk_flag_controls_render_tile():
     assert rc2.render_tile() == 16384 // 128
     # defaults unchanged
     assert RenderConfig().render_tile() == 32768
+    # on a fully-fused render netchunk is vacuous (activations stream
+    # through VMEM, never HBM) and only chunk binds
+    assert rc2.render_tile(fused=True) == 32768
+
+
+def test_fused_eval_ready_predicate():
+    """fused_eval_ready mirrors _composite_from_z's dispatch (netchunk is
+    only ignored when every pass really takes a fused kernel path)."""
+    from depth_lidar_nerf_tpu.render import RenderConfig
+    from depth_lidar_nerf_tpu.render.renderer import fused_eval_ready
+
+    class _FusedModel:
+        def __init__(self, ok=True):
+            self._ok = ok
+
+        def rays_ok(self, n):
+            return True
+
+        def supports_raw(self, params, cfg):
+            return self._ok
+
+        def supports_rays_path(self, params, cfg):
+            return self._ok
+
+        def apply_rays(self, *a, **k):
+            raise AssertionError("predicate only")
+
+    rc = RenderConfig(N_samples=64, N_importance=64, netchunk=16384)
+    params = {"coarse": {}, "fine": {}}
+    assert fused_eval_ready(_FusedModel(True), _FusedModel(True),
+                            params, rc, 16384)
+    # any pass falling back to Flax keeps the conservative tile policy
+    assert not fused_eval_ready(_FusedModel(True), _FusedModel(False),
+                                params, rc, 16384)
+    assert not fused_eval_ready(_FusedModel(False), _FusedModel(True),
+                                params, rc, 16384)
+    # a bare Flax module (no fused entry points) is never "ready"
+    class _Flax:
+        pass
+
+    assert not fused_eval_ready(_Flax(), _Flax(), params, rc, 16384)
+    # S not tiling the kernel tile disqualifies the shape outright
+    rc_odd = RenderConfig(N_samples=63, N_importance=0, netchunk=16384)
+    assert not fused_eval_ready(_FusedModel(True), None, params, rc_odd, 16384)
 
 
 def test_eval_metrics_cli(scene_dir, tmp_path, capsys):
