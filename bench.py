@@ -23,7 +23,10 @@ BENCH_WARMUP (default 400), BENCH_DTYPE, BENCH_FUSED, BENCH_CULL.
 BENCH_SEMANTIC=1 benches the TRUE reference-headline stack
 (configs/fern_dsnerf.txt trains with the semantic CE loss on, SURVEY §5):
 adds the 19-class semantic head + CE on both passes, reporting the metric
-as ``train_rays_per_sec_semantic``.
+as ``train_rays_per_sec_semantic``. BENCH_NETDEPTH_FINE (default 4, the
+headline-continuity shape) sets the fine MLP depth; 8 is the reference's
+actual default (fern_dsnerf.txt sets netdepth=4 but leaves netdepth_fine
+at 8 with the skip@4 concat, run_nerf.py:693).
 """
 
 from __future__ import annotations
@@ -55,6 +58,7 @@ def main():
     use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
     cull_eps = 1e-4 if os.environ.get("BENCH_CULL", "1") == "1" else 0.0
     semantic = os.environ.get("BENCH_SEMANTIC", "0") == "1"
+    fine_depth = int(os.environ.get("BENCH_NETDEPTH_FINE", 4))
 
     with tempfile.TemporaryDirectory() as d:
         make_scene(d, n_images=4, H=94, W=352, focal=88.0,
@@ -64,7 +68,7 @@ def main():
             datadir=d, dataset_type="llff", factor=0, llffhold=0,
             test_scene=[-1],
             N_rand=n_rand, N_samples=64, N_importance=64, netdepth=4,
-            netwidth=256, netdepth_fine=4, netwidth_fine=256,
+            netwidth=256, netdepth_fine=fine_depth, netwidth_fine=256,
             use_viewdirs=True, no_ndc=True, raw_noise_std=1.0,
             colmap_depth=True, depth_loss=True, depth_lambda=0.01,
             semantic_loss=semantic, semantic_lambda=0.04,

@@ -633,12 +633,26 @@ def bwd_acts_enabled() -> bool:
     return os.environ.get("DLNERF_BWD_ACTS", "1") == "1"
 
 
-# HBM cap for saved activations (2816 B/point at width 256: five [W] bf16
-# trunk/feature arrays + one [W/2]): the default admits the 16k-ray fine pass
-# (2.1M points, ~5.9GB) but keeps image-sized patch renders on the recompute
-# path.
+# HBM cap for saved activations (2816 B/point at width 256 / depth 4: five
+# [W] bf16 trunk/feature arrays + one [W/2]): the default admits the 16k-ray
+# fine pass (2.1M points, ~5.9GB) but keeps image-sized patch renders on the
+# recompute path. The env var is expressed in depth-4/width-256 POINTS for
+# continuity; deeper/wider topologies (e.g. the reference-default
+# netdepth_fine=8, 4864 B/point) get a proportionally smaller point cap via
+# :func:`acts_points_cap` so the BYTE budget is what's actually pinned.
 _ACTS_MAX_POINTS = int(os.environ.get("DLNERF_BWD_ACTS_MAX_POINTS",
                                       4 * 1024 * 1024))
+
+
+def _acts_bytes_per_point(depth: int, width: int) -> int:
+    # (depth + 1) [W] bf16 trunk/feature rows + one [W/2] view row.
+    return ((depth + 1) * width + width // 2) * 2
+
+
+def acts_points_cap(depth: int, width: int) -> int:
+    """Point cap for the saved-acts backward at this topology: the byte
+    budget _ACTS_MAX_POINTS implies at its D=4/W=256 reference shape."""
+    return (_ACTS_MAX_POINTS * 2816) // _acts_bytes_per_point(depth, width)
 
 
 def _fwd_kernel_acts(spec, xt_ref, vt_ref, *refs):
@@ -743,25 +757,53 @@ def _bwd_kernel_acts(spec, xt_ref, vt_ref, g_ref, *refs):
             ref[:] = ref[:] + val
 
 
-def _acts_tile(S: int) -> int:
+# Scoped-VMEM budget for the acts kernels' double-buffered point windows.
+# v5e has 128MB of VMEM; 96 leaves headroom for weights + compute. At the
+# D=4/W=256 shapes this never binds (the 8192/4096 tile caps rule); it only
+# shrinks tiles for deep/f32 topologies (e.g. the reference-default
+# netdepth_fine=8 in f32 needs 163MB at tile 8192 — measured OOM).
+_ACTS_VMEM_MB = int(os.environ.get("DLNERF_ACTS_VMEM_MB", 96))
+
+
+def _acts_point_bytes(depth: int, width: int, dtype) -> int:
+    """Per-point bytes of acts-kernel windows: (depth+1) [W] + one [W/2]
+    activation rows in the compute dtype, plus the [4] f32 raw row."""
+    b = 2 if dtype == jnp.bfloat16 else 4
+    return ((depth + 1) * width + width // 2) * b + 16
+
+
+def _acts_vmem_cap(depth: int, width: int, dtype) -> int:
+    return (_ACTS_VMEM_MB * 1024 * 1024
+            ) // (2 * _acts_point_bytes(depth, width, dtype))
+
+
+def _acts_tile(S: int, depth: int = 4, width: int = 256,
+               dtype=jnp.bfloat16) -> int:
     """Backward tile for the saved-acts path: large (no recompute stack in
-    VMEM), capped by the 128-ray viewdir block."""
-    cap = min(_ACTS_TILE, 128 * S)
+    VMEM), capped by the 128-ray viewdir block and the VMEM budget."""
+    cap = min(_ACTS_TILE, 128 * S, _acts_vmem_cap(depth, width, dtype))
     return max(_TILE, (cap // _TILE) * _TILE)
 
 
-def _acts_tile_fwd(S: int) -> int:
+def _acts_tile_fwd(S: int, depth: int = 4, width: int = 256,
+                   dtype=jnp.bfloat16) -> int:
     if _ACTS_TILE_FWD <= 0:
-        return _acts_tile(S)
-    cap = min(_ACTS_TILE_FWD, 128 * S)
+        return _acts_tile(S, depth, width, dtype)
+    cap = min(_ACTS_TILE_FWD, 128 * S, _acts_vmem_cap(depth, width, dtype))
     return max(_TILE, (cap // _TILE) * _TILE)
+
+
+def _spec_wd(params, spec):
+    """(depth, width, dtype) for the acts tile policy, from a spec + params."""
+    p = params["params"] if "params" in params else params
+    return spec[0], p["trunk_0"]["kernel"].shape[1], spec[1]
 
 
 def _fwd_impl_acts(params, xt, vt_a, spec):
     """Forward returning (raw, activation arrays) on the saved-acts tile."""
     depth, dtype, S, tile_f, n_p, n_v = spec[:6]
     skips = spec[6] if len(spec) > 6 else ()
-    tile = _acts_tile_fwd(S)
+    tile = _acts_tile_fwd(S, *_spec_wd(params, spec))
     ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
     W = ws[2].shape[1]  # any trunk layer's output width
@@ -807,14 +849,15 @@ def _bwd_acts_dparams(params, xt, vt_a, acts, g, spec, gfeat=None):
     """Run the saved-acts backward kernel; returns the param grads."""
     depth, dtype, S, _tile_f, n_p, n_v = spec[:6]
     skips = spec[6] if len(spec) > 6 else ()
-    tile = _acts_tile(S)
+    wd = _spec_wd(params, spec)
+    tile = _acts_tile(S, *wd)
     ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     P = xt.shape[1]
     W = ws[2].shape[1]
-    if _acts_tile_fwd(S) != tile:
+    if _acts_tile_fwd(S, *wd) != tile:
         # vt_a was laid out for the forward's tile; re-block for this one.
         Nf = P // S
-        vr = vt_a.reshape(3, -1, 128)[:, :, :_acts_tile_fwd(S) // S]
+        vr = vt_a.reshape(3, -1, 128)[:, :, :_acts_tile_fwd(S, *wd) // S]
         vt_a = _build_vt(vr.reshape(3, Nf), Nf, S, tile)
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
     a_specs = [pl.BlockSpec((tile, W), lambda i: (i, 0),
@@ -892,11 +935,12 @@ def _fwd_kernel_sem_only(spec, xt_ref, vt_ref, *refs):
     backward's activation dump (a no-grad patch/eval render would otherwise
     pay ~2.8KB/point of dead HBM writes)."""
     depth, dtype, S, R = spec[:4]
-    n_w = _n_ws(depth)
+    skips = _spec_skips(spec)
+    n_w = _n_ws(depth, skips)
     w_refs = refs[:n_w]
     sem_refs = refs[n_w:n_w + 4]
     raw_ref, sem_ref = refs[n_w + 4:]
-    ws = _unflatten([r[:] for r in w_refs], depth)
+    ws = _unflatten([r[:] for r in w_refs], depth, skips)
     out, (_enc, _acts, feat, _hv, _ev, _E) = _forward_tile(
         spec, xt_ref[:], vt_ref[:], ws)
     raw_ref[:] = out
@@ -906,11 +950,12 @@ def _fwd_kernel_sem_only(spec, xt_ref, vt_ref, *refs):
 def _fwd_kernel_acts_sem(spec, xt_ref, vt_ref, *refs):
     """Acts-dump forward + in-kernel semantic head."""
     depth, dtype, S, R = spec[:4]
-    n_w = _n_ws(depth)
+    skips = _spec_skips(spec)
+    n_w = _n_ws(depth, skips)
     w_refs = refs[:n_w]
     sem_refs = refs[n_w:n_w + 4]
     o_refs = refs[n_w + 4:]
-    ws = _unflatten([r[:] for r in w_refs], depth)
+    ws = _unflatten([r[:] for r in w_refs], depth, skips)
     out, (_enc, acts, feat, hv, _ev, _E) = _forward_tile(
         spec, xt_ref[:], vt_ref[:], ws)
     o_refs[0][:] = out
@@ -928,12 +973,13 @@ def _bwd_kernel_acts_sem(spec, xt_ref, vt_ref, g_ref, gsem_ref, *refs):
     in-kernel, so no [P, W] f32 feature cotangent ever touches HBM (the
     round-2 out-of-kernel head paid ~2KB/point for that round-trip)."""
     depth, dtype, S, R = spec[:4]
-    n_w = _n_ws(depth)
+    skips = _spec_skips(spec)
+    n_w = _n_ws(depth, skips)
     w_refs = refs[:n_w]
     sem_refs = refs[n_w:n_w + 4]
     a_refs = refs[n_w + 4:n_w + 4 + depth + 2]
     d_refs = refs[n_w + 4 + depth + 2:]
-    ws = _unflatten([r[:] for r in w_refs], depth)
+    ws = _unflatten([r[:] for r in w_refs], depth, skips)
     (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br) = ws
     ws0, bs0, ws1, bs1 = [r[:] for r in sem_refs]
 
@@ -990,18 +1036,22 @@ def _bwd_kernel_acts_sem(spec, xt_ref, vt_ref, g_ref, gsem_ref, *refs):
         preferred_element_type=jnp.float32)
     dtw = [None] * (depth - 1)
     dtb = [None] * (depth - 1)
+    dsw = {}
     for li in range(depth - 1, 0, -1):
         dh = _mask_cast(acts[li].astype(jnp.float32) > 0, dh, dtype)
         dtw[li - 1] = jax.lax.dot_general(
             acts[li - 1], dh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dtb[li - 1] = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
+        if (li - 1) in sw:
+            dsw[li - 1] = _dot(enc_x, dh)
         dh = _dot_b_t(dh, tw[li - 1])
     dh = _mask_cast(acts[0].astype(jnp.float32) > 0, dh, dtype)
     dw1 = _dot(enc_x, dh)
     db1 = jnp.sum(dh.astype(jnp.float32), 0, keepdims=True)
 
-    flat = [dw1, db1, *dtw, *dtb, dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
+    flat = [dw1, db1, *dtw, *dtb, *[dsw[k] for k in sorted(dsw)],
+            dwfs, dbfs, dwsig, dwvf, dwve, dbv, dwr,
             dbr, dws0, dbs0, dws1, dbs1]
     i = pl.program_id(0)
     for ref, val in zip(d_refs, flat):
@@ -1016,12 +1066,13 @@ def _bwd_kernel_acts_sem(spec, xt_ref, vt_ref, g_ref, gsem_ref, *refs):
 
 def _fwd_impl_sem_only(params, xt, vt_f, spec):
     depth, dtype, S, tile_f, n_p, n_v, C = spec[:7]
+    skips = spec[7] if len(spec) > 7 else ()
     R = tile_f // S
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     sem_ws = _pack_sem(params, dtype)
     P = xt.shape[1]
     raw, sem_ray = pl.pallas_call(
-        functools.partial(_fwd_kernel_sem_only, (depth, dtype, S, R)),
+        functools.partial(_fwd_kernel_sem_only, (depth, dtype, S, R, skips)),
         grid=(P // tile_f,),
         in_specs=[
             pl.BlockSpec((3, tile_f), lambda i: (0, i),
@@ -1044,9 +1095,10 @@ def _fwd_impl_sem_only(params, xt, vt_f, spec):
 
 def _fwd_impl_acts_sem(params, xt, vt_a, spec):
     depth, dtype, S, tile_f, n_p, n_v, C = spec[:7]
-    tile = _acts_tile_fwd(S)
+    skips = spec[7] if len(spec) > 7 else ()
+    tile = _acts_tile_fwd(S, *_spec_wd(params, spec))
     R = tile // S
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     sem_ws = _pack_sem(params, dtype)
     P = xt.shape[1]
     W = ws[2].shape[1]
@@ -1063,7 +1115,7 @@ def _fwd_impl_acts_sem(params, xt, vt_a, spec):
     out_specs += [pl.BlockSpec((R, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel_acts_sem, (depth, dtype, S, R)),
+        functools.partial(_fwd_kernel_acts_sem, (depth, dtype, S, R, skips)),
         grid=(P // tile,),
         in_specs=[
             pl.BlockSpec((3, tile), lambda i: (0, i),
@@ -1082,15 +1134,17 @@ def _fwd_impl_acts_sem(params, xt, vt_a, spec):
 
 def _bwd_acts_sem_dparams(params, xt, vt_a, acts, g, gsem, spec):
     depth, dtype, S, _tile_f, n_p, n_v, C = spec[:7]
-    tile = _acts_tile(S)
+    skips = spec[7] if len(spec) > 7 else ()
+    wd = _spec_wd(params, spec)
+    tile = _acts_tile(S, *wd)
     R = tile // S
-    ws = _pack_params(params, depth, n_p, n_v, dtype)
+    ws = _pack_params(params, depth, n_p, n_v, dtype, skips)
     sem_ws = _pack_sem(params, dtype)
     P = xt.shape[1]
     W = ws[2].shape[1]
-    if _acts_tile_fwd(S) != tile:
+    if _acts_tile_fwd(S, *wd) != tile:
         Nf = P // S
-        vr = vt_a.reshape(3, -1, 128)[:, :, :_acts_tile_fwd(S) // S]
+        vr = vt_a.reshape(3, -1, 128)[:, :, :_acts_tile_fwd(S, *wd) // S]
         vt_a = _build_vt(vr.reshape(3, Nf), Nf, S, tile)
     d_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                 for w in (*ws, *sem_ws)]
@@ -1099,7 +1153,7 @@ def _bwd_acts_sem_dparams(params, xt, vt_a, acts, g, gsem, spec):
     a_specs += [pl.BlockSpec((tile, W // 2), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)]
     dws = pl.pallas_call(
-        functools.partial(_bwd_kernel_acts_sem, (depth, dtype, S, R)),
+        functools.partial(_bwd_kernel_acts_sem, (depth, dtype, S, R, skips)),
         grid=(P // tile,),
         in_specs=[
             pl.BlockSpec((3, tile), lambda i: (0, i),
@@ -1118,7 +1172,7 @@ def _bwd_acts_sem_dparams(params, xt, vt_a, acts, g, gsem, spec):
         interpret=interpret_mode(),
     )(xt, vt_a, g, gsem, *ws, *sem_ws, *acts)
     dws = list(dws)
-    d_params = _unpack_grads(dws[:-4], params, depth, n_p, n_v)
+    d_params = _unpack_grads(dws[:-4], params, depth, n_p, n_v, skips)
     p = params["params"] if "params" in params else params
     d = d_params["params"] if "params" in d_params else d_params
     dws0, dbs0, dws1, dbs1 = dws[-4:]
@@ -1391,6 +1445,8 @@ def supports_rays(params, use_viewdirs: bool, num_semantic: int, depth: int,
         return False
     for i in range(1, depth):
         want = width + (e_p if (i - 1) in ls else 0)
+        if f"trunk_{i}" not in p:
+            return False
         if p[f"trunk_{i}"]["kernel"].shape[0] != want:
             return False
     if p["views_0"]["kernel"].shape[0] != width + e_v:
@@ -1405,10 +1461,12 @@ def supports_semantic(params, use_viewdirs: bool, depth: int, width: int,
     covers this model shape: the base fused topology PLUS semantic_0/1."""
     from depth_lidar_nerf_tpu.ops import fused_mlp
 
-    if not use_viewdirs or depth > 4 or depth < 1:
+    if not use_viewdirs or depth > 8 or depth < 1:
         return False
-    if _live_skips(depth, skips):
-        return False  # semantic acts kernels have no skip variant yet
+    if any(s >= depth - 1 for s in (skips or ()) if s < depth):
+        # A concat consumed by the heads (skip at the LAST trunk layer)
+        # changes the head + semantic-head input widths; not implemented.
+        return False
     p = params["params"] if "params" in params else params
     if "semantic_0" not in p or "semantic_1" not in p:
         return False
@@ -1417,6 +1475,13 @@ def supports_semantic(params, use_viewdirs: bool, depth: int, width: int,
         return False
     if p["trunk_0"]["kernel"].shape[0] != e_p:
         return False
+    ls = _live_skips(depth, skips)
+    for i in range(1, depth):
+        want = width + (e_p if (i - 1) in ls else 0)
+        if f"trunk_{i}" not in p:
+            return False
+        if p[f"trunk_{i}"]["kernel"].shape[0] != want:
+            return False
     if p["views_0"]["kernel"].shape[0] != width + e_v:
         return False
     return p["trunk_0"]["kernel"].shape[1] == width and width in (128, 256)
@@ -1425,7 +1490,7 @@ def supports_semantic(params, use_viewdirs: bool, depth: int, width: int,
 def fused_nerf_apply_rays_semantic(params, rays_o, rays_d, viewdirs, z_vals,
                                    *, depth, width, multires, multires_views,
                                    dtype=jnp.bfloat16, mesh=None,
-                                   ray_axis="rays"):
+                                   ray_axis="rays", skips=()):
     """Semantic-head variant: returns (raw [4, N, S], ray-summed semantic
     logits [N, C]).
 
@@ -1444,7 +1509,8 @@ def fused_nerf_apply_rays_semantic(params, rays_o, rays_d, viewdirs, z_vals,
 
         core = functools.partial(
             _apply_rays_semantic_core, depth=depth, width=width,
-            multires=multires, multires_views=multires_views, dtype=dtype)
+            multires=multires, multires_views=multires_views, dtype=dtype,
+            skips=skips)
         return jax.shard_map(
             core, mesh=mesh,
             in_specs=(P_(), P_(ray_axis), P_(ray_axis), P_(ray_axis),
@@ -1454,14 +1520,18 @@ def fused_nerf_apply_rays_semantic(params, rays_o, rays_d, viewdirs, z_vals,
         )(params, rays_o, rays_d, viewdirs, z_vals)
     return _apply_rays_semantic_core(
         params, rays_o, rays_d, viewdirs, z_vals, depth=depth, width=width,
-        multires=multires, multires_views=multires_views, dtype=dtype)
+        multires=multires, multires_views=multires_views, dtype=dtype,
+        skips=skips)
 
 
 def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
-                              depth, width, multires, multires_views, dtype):
+                              depth, width, multires, multires_views, dtype,
+                              skips=()):
+    skips = _live_skips(depth, skips)
     N, S = z_vals.shape
     tile_f = _fwd_tile_size(S)
-    rpt = max(tile_f // S, _acts_tile_fwd(S) // S, _acts_tile(S) // S)
+    rpt = max(tile_f // S, _acts_tile_fwd(S, depth, width, dtype) // S,
+              _acts_tile(S, depth, width, dtype) // S)
     n_pad = (-N) % rpt
     n_full = N + n_pad
     if n_pad:
@@ -1475,11 +1545,11 @@ def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
     ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
     vdT = viewdirs.astype(jnp.float32).T
     vt_f = _build_vt(vdT, n_full, S, tile_f)
-    vt_a = (vt_f if _acts_tile_fwd(S) == tile_f
-            else _build_vt(vdT, n_full, S, _acts_tile_fwd(S)))
+    t_a = _acts_tile_fwd(S, depth, width, dtype)
+    vt_a = vt_f if t_a == tile_f else _build_vt(vdT, n_full, S, t_a)
     p = params["params"] if "params" in params else params
     C = p["semantic_1"]["kernel"].shape[1]
-    spec = (depth, dtype, S, tile_f, multires, multires_views, C)
+    spec = (depth, dtype, S, tile_f, multires, multires_views, C, skips)
     raw_t, sem_ray = _fused_t_sem(params, ptsT, vt_a, vt_f, spec)
 
     raw = raw_t.reshape(4, n_full, S)
@@ -1550,12 +1620,12 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
         spec = (depth, dtype, S, multires, multires_views, sb, float(fwd_eps))
         raw_t = _fused_t_cf(params, ptsT, vdT, vt_b, aux, spec)
     elif (save_acts and bwd_acts_enabled()
-          and n_full * S <= _ACTS_MAX_POINTS
-          and n_full % (_acts_tile(S) // S) == 0
-          and n_full % (_acts_tile_fwd(S) // S) == 0):
+          and n_full * S <= acts_points_cap(depth, width)
+          and n_full % (_acts_tile(S, depth, width, dtype) // S) == 0
+          and n_full % (_acts_tile_fwd(S, depth, width, dtype) // S) == 0):
         vt_f = _build_vt(vdT, n_full, S, tile_f)
-        vt_a = (vt_f if _acts_tile_fwd(S) == tile_f
-                else _build_vt(vdT, n_full, S, _acts_tile_fwd(S)))
+        t_a = _acts_tile_fwd(S, depth, width, dtype)
+        vt_a = vt_f if t_a == tile_f else _build_vt(vdT, n_full, S, t_a)
         spec = (depth, dtype, S, tile_f, multires, multires_views, skips)
         raw_t = _fused_t_acts(params, ptsT, vt_a, vt_f, spec)
     else:

@@ -92,15 +92,17 @@ class FusedMLP:
         """Whether the semantic-head acts fast path covers this call.
 
         ``n_points`` (n_rays * n_samples) applies the same activation-HBM cap
-        as the rgb acts path: a differentiated batch beyond _ACTS_MAX_POINTS
-        would dump ~2.8KB/point of activations, so it falls back to Flax.
+        as the rgb acts path: a differentiated batch beyond the byte budget
+        (fused_mlp_t.acts_points_cap — ~2.8KB/point at D=4/W=256, ~4.9KB at
+        the reference-default D=8) would OOM HBM, so it falls back to Flax.
         """
         from depth_lidar_nerf_tpu.ops import fused_mlp, fused_mlp_t
 
         if (jax.default_backend() not in ("tpu", "axon")
                 and not fused_mlp.interpret_mode()):
             return False
-        if n_points > fused_mlp_t._ACTS_MAX_POINTS:
+        if n_points > fused_mlp_t.acts_points_cap(self.module.depth,
+                                                  self.module.width):
             return False
         return fused_mlp_t.supports_semantic(
             params, self.module.use_viewdirs, self.module.depth,
@@ -115,7 +117,8 @@ class FusedMLP:
             params, rays.origins, rays.directions, rays.viewdirs, z_vals,
             depth=self.module.depth, width=self.module.width,
             multires=cfg.multires, multires_views=cfg.multires_views,
-            dtype=self.module.dtype, mesh=self.mesh)
+            dtype=self.module.dtype, mesh=self.mesh,
+            skips=self.module.skips)
 
     def apply_rays(self, params, rays, z_vals, cfg, fwd_cull=None,
                    save_acts=False):

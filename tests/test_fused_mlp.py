@@ -379,13 +379,13 @@ def test_fused_bwd_acts_matches_flax():
         params, tol=1e-3)
 
 
-def _setup_sem(depth=4, width=64, mr=10, mrv=4, N=8, S=128, C=4):
+def _setup_sem(depth=4, width=64, mr=10, mrv=4, N=8, S=128, C=4, skips=(4,)):
     from depth_lidar_nerf_tpu.models import NeRFMLP
     from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
 
     model = NeRFMLP(depth=depth, width=width, in_channels=3 + 6 * mr,
                     in_channels_views=3 + 6 * mrv, num_semantic_classes=C,
-                    dtype=jnp.float32)
+                    skips=skips, dtype=jnp.float32)
     k = jax.random.key(0)
     ro = jax.random.normal(k, (N, 3))
     rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
@@ -400,17 +400,22 @@ def _setup_sem(depth=4, width=64, mr=10, mrv=4, N=8, S=128, C=4):
     return model, params, (ro, rd, vd, z, pts, pe, veb)
 
 
-def test_fused_semantic_matches_flax():
+@pytest.mark.parametrize("depth,skips", [(4, ()), (8, (4,))])
+def test_fused_semantic_matches_flax(depth, skips):
     """The semantic fast path (in-kernel head + in-kernel unweighted ray
     sum) matches the Flax module + XLA sum on outputs AND all gradients —
     including the semantic head's own params and the trunk gradient
-    contribution that flows back through the head's feature cotangent."""
+    contribution that flows back through the head's feature cotangent.
+    Covers the reference-DEFAULT fine topology netdepth_fine=8 / skip@4
+    (run_nerf_helpers.py:77-174; fern_dsnerf.txt leaves netdepth_fine
+    at its default) as well as the shipped-coarse netdepth=4."""
     from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
         fused_nerf_apply_rays_semantic)
 
-    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem()
-    kw = dict(depth=4, width=64, multires=10, multires_views=4,
-              dtype=jnp.float32)
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem(
+        depth=depth, skips=skips)
+    kw = dict(depth=depth, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32, skips=skips)
     ref = np.asarray(model.apply(params, pe, veb))  # [N, S, 4 + C]
     ref_map = ref[..., 4:].astype(np.float64).sum(axis=1)  # unweighted sum
     raw, sem = fused_nerf_apply_rays_semantic(params, ro, rd, vd, z, **kw)
@@ -471,7 +476,13 @@ def test_supports_semantic_predicate():
     _, params, _ = _setup_sem(width=128)
     assert supports_semantic(params, True, 4, 128, 10, 4)
     assert not supports_semantic(params, False, 4, 128, 10, 4)  # no viewdirs
-    assert not supports_semantic(params, True, 8, 128, 10, 4)  # deep trunk
+    # depth-8 claim against depth-4 params: trunk_4.. missing -> False
+    assert not supports_semantic(params, True, 8, 128, 10, 4)
     assert not supports_semantic(params, True, 4, 64, 10, 4)  # narrow width
     _, p_nosem, _ = _setup(width=128)
     assert not supports_semantic(p_nosem, True, 4, 128, 10, 4)  # no head
+    # reference-default fine topology (netdepth_fine=8, skip@4): supported
+    _, p8, _ = _setup_sem(depth=8, width=128, skips=(4,))
+    assert supports_semantic(p8, True, 8, 128, 10, 4, skips=(4,))
+    # skip feeding the heads (last trunk layer) is not implemented
+    assert not supports_semantic(p8, True, 8, 128, 10, 4, skips=(7,))
