@@ -486,3 +486,29 @@ def test_supports_semantic_predicate():
     assert supports_semantic(p8, True, 8, 128, 10, 4, skips=(4,))
     # skip feeding the heads (last trunk layer) is not implemented
     assert not supports_semantic(p8, True, 8, 128, 10, 4, skips=(7,))
+
+
+def test_acts_tile_policy_vmem_aware():
+    """Saved-acts tiles shrink for deep/f32 topologies so the kernels'
+    double-buffered VMEM windows fit the chip (measured OOM: D=8/f32 at
+    tile 8192 needs 163MB vs 128MB VMEM), and stay at their tuned sizes
+    for the D=4 headline shapes."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        _acts_point_bytes, _acts_tile, _acts_tile_fwd, acts_points_cap)
+
+    # Tuned D=4 shapes unchanged in both dtypes.
+    assert _acts_tile_fwd(128, 4, 256, jnp.bfloat16) == 8192
+    assert _acts_tile_fwd(128, 4, 256, jnp.float32) == 8192
+    assert _acts_tile(128, 4, 256, jnp.float32) == 4096
+    # The reference-default fine topology in f32 must shrink below 8192.
+    assert _acts_tile_fwd(128, 8, 256, jnp.float32) < 8192
+    # ... and the shrunken tile's windows fit a 128MB VMEM budget
+    # double-buffered, with headroom for weights.
+    t = _acts_tile_fwd(128, 8, 256, jnp.float32)
+    assert 2 * t * _acts_point_bytes(8, 256, jnp.float32) <= 100 * 2**20
+    # bf16 halves the window bytes: D=8 keeps the full tile.
+    assert _acts_tile_fwd(128, 8, 256, jnp.bfloat16) == 8192
+    # The HBM cap is byte-based: deeper trunks admit fewer points.
+    assert acts_points_cap(8, 256) < acts_points_cap(4, 256)
+    # documented 2816 B/point of saved acts + the [4] f32 raw window row
+    assert _acts_point_bytes(4, 256, jnp.bfloat16) == 2816 + 16
