@@ -7,6 +7,8 @@ replicated, gradient reduction as XLA ``psum`` over ICI — no NCCL analogue
 needed, the compiler emits the collectives.
 """
 
-from depth_lidar_nerf_tpu.parallel.mesh import make_mesh, ray_sharder
+from depth_lidar_nerf_tpu.parallel.mesh import (
+    make_mesh, model_parallel_size, ray_sharder, replicate, shard_params)
 
-__all__ = ["make_mesh", "ray_sharder"]
+__all__ = ["make_mesh", "model_parallel_size", "ray_sharder", "replicate",
+           "shard_params"]

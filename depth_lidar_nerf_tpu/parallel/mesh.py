@@ -14,6 +14,15 @@ Rather than hand-writing shard_map collectives, the train step inserts
 partitioner propagate the sharding through render + backward. On a v4-8 this
 puts the two MLP pipelines fully data-parallel with one gradient
 reduce-scatter/all-gather pair per step.
+
+A second, optional ``model`` mesh axis adds tensor parallelism for the Flax
+MLP path (``mesh_shape=[dp, tp]``): every Dense kernel/bias whose output
+dimension divides ``tp`` is sharded column-parallel over the axis
+(Megatron-style ``P(None, 'model')``), activations become 2-D sharded
+``('rays', 'model')``, and GSPMD inserts the per-layer collectives over ICI.
+The reference has no analogue (single-GPU torch); this is the scaling path
+for models too wide for one chip's VMEM/HBM. The fused Pallas kernels are
+per-device and therefore ray-DP only — ``tp > 1`` requires the Flax path.
 """
 
 from __future__ import annotations
@@ -24,20 +33,36 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
+MODEL_AXIS = "model"
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None,
               devices=None) -> Mesh:
-    """1-D ray-DP mesh over all (or the given) devices."""
+    """Ray-DP mesh; a 2-entry shape ``[dp, tp]`` adds the ``model`` axis."""
+    import numpy as np
+
     devices = list(devices if devices is not None else jax.devices())
+    if shape is not None and len(shape) == 2:
+        dp, tp = shape
+        if dp * tp > len(devices):
+            raise ValueError(
+                f"mesh_shape {list(shape)} needs {dp * tp} devices, "
+                f"have {len(devices)}")
+        grid = np.array(devices[: dp * tp]).reshape(dp, tp)
+        return Mesh(grid, (RAY_AXIS, MODEL_AXIS))
     if shape is not None:
         n = 1
         for s in shape:
             n *= s
         devices = devices[:n]
-    import numpy as np
-
     return Mesh(np.array(devices), (RAY_AXIS,))
+
+
+def model_parallel_size(mesh: Optional[Mesh]) -> int:
+    """tp degree of the mesh (1 when absent or 1-D)."""
+    if mesh is None:
+        return 1
+    return dict(mesh.shape).get(MODEL_AXIS, 1)
 
 
 def ray_sharder(mesh: Optional[Mesh]):
@@ -62,3 +87,55 @@ def replicate(mesh: Mesh, tree):
     """Place a pytree fully replicated on the mesh."""
     s = NamedSharding(mesh, P())
     return jax.device_put(tree, s)
+
+
+def shard_params(mesh: Mesh, tree):
+    """Place a state/param pytree with model-TP sharding on a 2-D mesh.
+
+    Column-parallel rule: any 1-D/2-D float array whose LAST dim divides the
+    ``model`` axis size and is at least ``4 * tp`` wide is sharded
+    ``P(..., 'model')`` — this catches every trunk/feature/views Dense kernel
+    and bias (plus their Adam mu/nu mirrors, which have identical shapes)
+    while leaving the tiny sigma/rgb/semantic heads (out <= C) and all
+    scalars replicated. On a 1-D mesh this degrades to :func:`replicate`.
+    """
+    tp = model_parallel_size(mesh)
+    if tp <= 1:
+        return replicate(mesh, tree)
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim in (1, 2)
+                and x.shape[-1] % tp == 0 and x.shape[-1] >= 4 * tp):
+            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), tree)
+
+
+def param_constrainer(mesh: Optional[Mesh]):
+    """In-jit ``with_sharding_constraint`` twin of :func:`shard_params`.
+
+    Pins updated params/opt-state to the same column-parallel layout inside
+    the train step; without it GSPMD is free to pick a different sharding for
+    the updated tree (e.g. row-sharding a tiny head kernel), which would make
+    the output state's layout drift from the input rule and trigger one
+    re-specialization on the next call. No-op for 1-D/absent meshes.
+    """
+    tp = model_parallel_size(mesh)
+    if tp <= 1:
+        return lambda tree: tree
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim in (1, 2)
+                and x.shape[-1] % tp == 0 and x.shape[-1] >= 4 * tp):
+            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+        return P()
+
+    def constrain(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec(x)))
+            if hasattr(x, "ndim") else x, tree)
+
+    return constrain

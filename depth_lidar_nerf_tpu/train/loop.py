@@ -185,6 +185,13 @@ def _validate_flags(cfg: TrainConfig) -> None:
     Accepting them silently diverges from a user's stated intent, so they are
     rejected or warned about here (round-1 VERDICT weak #7).
     """
+    if (cfg.mesh_shape and len(cfg.mesh_shape) == 2 and cfg.mesh_shape[1] > 1
+            and cfg.use_fused_mlp):
+        raise ValueError(
+            "mesh_shape=[dp, tp] with tp > 1 (model tensor parallelism) "
+            "requires the Flax MLP path: the fused Pallas kernels are "
+            "per-device and cannot shard the weight matrices. Set "
+            "use_fused_mlp=False or use a 1-D ray-DP mesh.")
     if cfg.depth_with_rgb:
         raise ValueError(
             "--depth_with_rgb is unsupported: the reference's own branch is "
@@ -366,16 +373,19 @@ def train(cfg: TrainConfig):
     # tables replicate; the sharded step lets GSPMD emit the gradient psum.
     mesh = None
     if cfg.mesh_shape:
-        from depth_lidar_nerf_tpu.parallel.mesh import make_mesh, replicate
+        from depth_lidar_nerf_tpu.parallel.mesh import (
+            make_mesh, model_parallel_size, replicate, shard_params)
 
         mesh = make_mesh(cfg.mesh_shape)
-        state = replicate(mesh, state)
+        state = shard_params(mesh, state)
         rgb_table = replicate(mesh, rgb_table)
         if depth_table is not None:
             depth_table = replicate(mesh, depth_table)
         if vgg_params is not None:
             vgg_params = replicate(mesh, vgg_params)
-        print(f"ray-DP mesh over {mesh.devices.size} devices")
+        tp = model_parallel_size(mesh)
+        kind = f"ray-DP x {tp}-way model-TP" if tp > 1 else "ray-DP"
+        print(f"{kind} mesh over {mesh.devices.size} devices")
 
     plan = build_step_fns(cfg, rcfg, models, scene.hwf, mesh=mesh)
 

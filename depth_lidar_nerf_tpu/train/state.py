@@ -254,6 +254,11 @@ def build_models(cfg: TrainConfig, rcfg: RenderConfig) -> Models:
             fine = FrozenAlphaMLP(fine, alpha_module, alpha_params)
         return Models(coarse, fine, disc, vgg, lpips_mod)
     if cfg.use_fused_mlp:
+        if cfg.mesh_shape and len(cfg.mesh_shape) == 2 and cfg.mesh_shape[1] > 1:
+            raise ValueError(
+                "use_fused_mlp with a model-TP mesh (mesh_shape=[dp, tp], "
+                "tp > 1) is unsupported; the Pallas kernels are per-device. "
+                "Use the Flax path for tensor parallelism.")
         mesh = None
         if cfg.mesh_shape and _mesh_size(cfg.mesh_shape) > 1:
             # Multi-chip: the fused kernels run per-shard under shard_map

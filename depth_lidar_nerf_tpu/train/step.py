@@ -44,7 +44,7 @@ from depth_lidar_nerf_tpu.train.state import (
     make_disc_optimizer,
     make_optimizer,
 )
-from depth_lidar_nerf_tpu.parallel.mesh import ray_sharder
+from depth_lidar_nerf_tpu.parallel.mesh import param_constrainer, ray_sharder
 from depth_lidar_nerf_tpu.train.tables import DepthRayTable, RgbRayTable, gather_rays
 
 
@@ -167,6 +167,7 @@ def make_train_step(
     throughput shape — PERF.md "small-batch bound").
     """
     shard_rays = ray_sharder(mesh)
+    constrain_params = param_constrainer(mesh)
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
     n_depth = int(cfg.N_rand * cfg.depth_rays_prop) if cfg.colmap_depth else 0
     n_rgb = cfg.N_rand - n_depth
@@ -423,8 +424,9 @@ def make_train_step(
                     vgg_params, st.disc_params, k_loss)
                 upd, new_opt = optimizer.update(grads, st.opt_state,
                                                 st.params)
-                st = st.replace(params=optax.apply_updates(st.params, upd),
-                                opt_state=new_opt, step=st.step + 1)
+                st = st.replace(
+                    params=constrain_params(optax.apply_updates(st.params, upd)),
+                    opt_state=constrain_params(new_opt), step=st.step + 1)
                 return st, metrics
 
             return jax.lax.scan(body, state, iters)
@@ -448,8 +450,9 @@ def make_train_step(
             vgg_params, state.disc_params, k_loss,
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        state = state.replace(params=new_params, opt_state=new_opt,
+        new_params = constrain_params(optax.apply_updates(state.params, updates))
+        state = state.replace(params=new_params,
+                              opt_state=constrain_params(new_opt),
                               step=state.step + 1)
 
         if gan_on:

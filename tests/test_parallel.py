@@ -258,8 +258,7 @@ def test_patch_loss_sharded_step_matches_single_device():
                                    rtol=2e-4, atol=2e-5)
 
 
-def test_cli_train_with_mesh(tmp_path):
-    """Full driver over an 8-virtual-device ray-DP mesh (--mesh_shape)."""
+def _run_cli_mesh_train(tmp_path, mesh_shape):
     from depth_lidar_nerf_tpu.data.synthetic import make_scene
     from depth_lidar_nerf_tpu.train.config import TrainConfig
     from depth_lidar_nerf_tpu.train.loop import train
@@ -273,8 +272,100 @@ def test_cli_train_with_mesh(tmp_path):
         N_rand=64, N_samples=8, N_importance=8, netdepth=2, netwidth=32,
         netdepth_fine=2, netwidth_fine=32, use_viewdirs=True, no_ndc=True,
         N_iters=10, i_print=5, i_weights=10, i_testset=0, i_video=0,
-        multires=4, multires_views=2, should_seed=True, mesh_shape=[8],
+        multires=4, multires_views=2, should_seed=True, mesh_shape=mesh_shape,
         colmap_depth=True, depth_loss=True,
+        use_fused_mlp=len(mesh_shape) < 2,  # tp > 1 requires the Flax path
     )
     state = train(cfg)
     assert int(state.step) == 10
+    return state
+
+
+def test_cli_train_with_mesh(tmp_path):
+    """Full driver over an 8-virtual-device ray-DP mesh (--mesh_shape)."""
+    _run_cli_mesh_train(tmp_path, [8])
+
+
+def test_cli_train_with_model_parallel_mesh(tmp_path):
+    """Full driver (K-batched steps, checkpoint save, eval render) on a
+    2-D dp x tp mesh with column-parallel Dense sharding."""
+    from depth_lidar_nerf_tpu.parallel.mesh import MODEL_AXIS
+
+    state = _run_cli_mesh_train(tmp_path, [2, 4])
+    trunk = state.params["coarse"]["params"]["trunk_0"]["kernel"]
+    assert trunk.sharding.spec[-1] == MODEL_AXIS
+
+
+def test_model_parallel_step_matches_single_device():
+    """2-D dp x tp mesh: the Flax train step with column-parallel Dense
+    sharding over the 'model' axis matches the single-device step, and the
+    trunk kernels are actually sharded (not silently replicated)."""
+    from depth_lidar_nerf_tpu.parallel.mesh import (
+        MODEL_AXIS, model_parallel_size, shard_params)
+
+    cfg, rcfg, models, state, rgb_t, hwf = _setup()
+
+    step1 = make_train_step(cfg, rcfg, models, hwf)
+    s1, m1 = step1(state, rgb_t, None, None, None, jax.random.key(7))
+
+    mesh = make_mesh([2, 4])
+    assert model_parallel_size(mesh) == 4
+    state2 = init_train_state(cfg, rcfg, models, jax.random.key(0))
+    with mesh:
+        state2 = shard_params(mesh, state2)
+        rgb_tm = replicate(mesh, rgb_t)
+        step_tp = make_train_step(cfg, rcfg, models, hwf, mesh=mesh)
+        s2, m2 = step_tp(state2, rgb_tm, None, None, None, jax.random.key(7))
+
+    # The width-32 trunk kernel must be split 4-way over 'model'.
+    trunk = s2.params["coarse"]["params"]["trunk_0"]["kernel"]
+    assert trunk.sharding.spec[-1] == MODEL_AXIS
+    assert trunk.addressable_shards[0].data.shape[-1] == trunk.shape[-1] // 4
+    # Tiny heads (out=1/3) stay replicated.
+    sigma = s2.params["coarse"]["params"]["sigma"]["kernel"]
+    assert sigma.sharding.spec == () or all(
+        p is None for p in sigma.sharding.spec)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_model_parallel_rejects_fused_path():
+    """tp > 1 requires the Flax path (Pallas kernels are per-device)."""
+    import pytest
+
+    cfg = TrainConfig(
+        N_rand=64, N_samples=16, N_importance=16, netdepth=2, netwidth=128,
+        netdepth_fine=2, netwidth_fine=128, use_viewdirs=True, no_ndc=True,
+        multires=4, multires_views=2, use_fused_mlp=True, mesh_shape=[2, 4])
+    rcfg = render_config_from(cfg, 0, near=2.0, far=6.0)
+    with pytest.raises(ValueError, match="model"):
+        build_models(cfg, rcfg)
+
+
+def test_model_parallel_eval_render_matches_single_device():
+    """Full-image eval render with TP-sharded params (the render path a
+    TP training run uses for i_testset/i_video) matches the unsharded
+    render."""
+    from depth_lidar_nerf_tpu.parallel.mesh import shard_params
+    from depth_lidar_nerf_tpu.render.renderer import render_image
+
+    cfg, rcfg, models, state, _, (H, W, focal) = _setup()
+    c2w = jnp.eye(4)[:3]
+
+    out1 = render_image(models.coarse, models.fine, state.params,
+                        H, W, focal, c2w, rcfg)
+
+    mesh = make_mesh([2, 4])
+    with mesh:
+        params_tp = shard_params(mesh, state.params)
+        out2 = render_image(models.coarse, models.fine, params_tp,
+                            H, W, focal, c2w, rcfg)
+
+    np.testing.assert_allclose(np.asarray(out1["rgb_map"]),
+                               np.asarray(out2["rgb_map"]),
+                               rtol=2e-4, atol=2e-5)
