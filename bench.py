@@ -36,6 +36,21 @@ import os
 import tempfile
 import time
 
+# This container ships several pythons and only /opt/venv has jax/numpy
+# (observed: /usr/local/bin/python has neither). If the invoking interpreter
+# cannot import the stack, re-exec under the venv one so `python bench.py`
+# works regardless of which python resolves first on PATH.
+try:
+    import numpy  # noqa: F401
+except ImportError:  # pragma: no cover
+    import sys
+
+    _venv = "/opt/venv"
+    # The venv python symlinks to the same binary, so compare prefixes.
+    if os.path.exists(_venv + "/bin/python") and sys.prefix != _venv:
+        os.execv(_venv + "/bin/python", [_venv + "/bin/python"] + sys.argv)
+    raise
+
 
 def main():
     # NOTE: jax_compilation_cache_dir was tried here and HANGS under the axon
