@@ -288,12 +288,33 @@ def test_cli_train_with_mesh(tmp_path):
 
 def test_cli_train_with_model_parallel_mesh(tmp_path):
     """Full driver (K-batched steps, checkpoint save, eval render) on a
-    2-D dp x tp mesh with column-parallel Dense sharding."""
+    2-D dp x tp mesh with column-parallel Dense sharding, then a
+    checkpoint-resume continuation re-sharded onto the same mesh."""
     from depth_lidar_nerf_tpu.parallel.mesh import MODEL_AXIS
+    from depth_lidar_nerf_tpu.train.loop import train
 
     state = _run_cli_mesh_train(tmp_path, [2, 4])
     trunk = state.params["coarse"]["params"]["trunk_0"]["kernel"]
     assert trunk.sharding.spec[-1] == MODEL_AXIS
+
+    # Resume: orbax restore of the TP-sharded checkpoint + re-shard.
+    from depth_lidar_nerf_tpu.train.config import TrainConfig
+
+    cfg2 = TrainConfig(
+        expname="mesh", basedir=str(tmp_path),
+        datadir=str(tmp_path / "scene"),
+        dataset_type="llff", factor=0, llffhold=0, test_scene=[2],
+        N_rand=64, N_samples=8, N_importance=8, netdepth=2, netwidth=32,
+        netdepth_fine=2, netwidth_fine=32, use_viewdirs=True, no_ndc=True,
+        N_iters=15, i_print=5, i_weights=15, i_testset=0, i_video=0,
+        multires=4, multires_views=2, should_seed=True,
+        mesh_shape=[2, 4], colmap_depth=True, depth_loss=True,
+        use_fused_mlp=False,
+    )
+    state2 = train(cfg2)
+    assert int(state2.step) == 15
+    trunk2 = state2.params["coarse"]["params"]["trunk_0"]["kernel"]
+    assert trunk2.sharding.spec[-1] == MODEL_AXIS
 
 
 def test_model_parallel_step_matches_single_device():
