@@ -569,3 +569,21 @@ def test_reference_configs_parse():
         cfg = TrainConfig(**vals)
         assert cfg.dataset_type == "llff"
         assert cfg.N_rand > 0 and cfg.N_samples > 0
+
+
+def test_repo_configs_parse():
+    """Every config shipped in configs/ parses into a valid TrainConfig, and
+    the drop-in fern_dsnerf.txt matches the reference's flag-for-flag."""
+    import glob
+
+    from depth_lidar_nerf_tpu.train.config import parse_config_file
+
+    repo_configs = sorted(glob.glob("configs/*.txt"))
+    assert repo_configs, "configs/ directory is empty"
+    for path in repo_configs:
+        TrainConfig(**parse_config_file(path))
+
+    ref = "/root/reference/configs/fern_dsnerf.txt"
+    if os.path.exists(ref):
+        assert (parse_config_file("configs/fern_dsnerf.txt")
+                == parse_config_file(ref))
