@@ -1,4 +1,4 @@
-"""LPIPS perceptual distance in Flax (AlexNet / VGG16 backbones).
+"""LPIPS perceptual distance in Flax (AlexNet / VGG16 / SqueezeNet backbones).
 
 Role of the reference's two LPIPS consumers: the ``lpips`` pip package used
 as a train-time feature loss and test metric (``run_nerf.py:1240-1246,1316``)
@@ -86,16 +86,93 @@ class VGG16Features(nn.Module):
 VGG_TAP_CHANNELS = {"relu1": 64, "relu2": 128, "relu3": 256, "relu4": 512,
                     "relu5": 512}
 
+
+def _ceil_max_pool(x, k: int = 3, s: int = 2):
+    """torch ``MaxPool2d(k, s, ceil_mode=True)``: when the last stride-``s``
+    window would start in-bounds but overrun the edge, torch keeps it and
+    pools the in-bounds values — emulated by -inf right/bottom padding."""
+    ph = max(0, -((x.shape[1] - k) // -s) * s + k - x.shape[1])
+    pw = max(0, -((x.shape[2] - k) // -s) * s + k - x.shape[2])
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (k, k), strides=(s, s))
+
+
+class Fire(nn.Module):
+    """SqueezeNet Fire: 1x1 squeeze -> relu -> parallel 1x1/3x3 expands,
+    relu'd and channel-concatenated (expand1x1 first, like torchvision)."""
+
+    squeeze_ch: int
+    expand_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze_ch, (1, 1), dtype=self.dtype,
+                            name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand_ch, (1, 1), dtype=self.dtype,
+                             name="expand1x1")(s))
+        e3 = nn.relu(nn.Conv(self.expand_ch, (3, 3),
+                             padding=((1, 1), (1, 1)), dtype=self.dtype,
+                             name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+# torchvision squeezenet1_1 ``features`` indices of the Fire modules and
+# their (squeeze, expand) channel plan; modules are named ``fire_{idx}`` so
+# the torch converter can address them by index.
+_SQUEEZE_FIRES = ((3, 16, 64), (4, 16, 64), (6, 32, 128), (7, 32, 128),
+                  (9, 48, 192), (10, 48, 192), (11, 64, 256), (12, 64, 256))
+
+
+class SqueezeNetFeatures(nn.Module):
+    """SqueezeNet1.1 conv trunk returning the 7 LPIPS taps.
+
+    Backbone of ``lpips.LPIPS(net='squeeze')`` (reference ``run_nerf.py:1242``
+    accepts net=alex|vgg|squeeze): 3x3/s2 stem, ceil-mode 3x3/s2 max-pools,
+    eight Fire modules; taps at the lpips package's 7 slice boundaries
+    (after features idx 1, 4, 7, 9, 10, 11, 12)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        taps = {}
+        fires = {idx: Fire(sq, ex, dtype=self.dtype, name=f"fire_{idx}")
+                 for idx, sq, ex in _SQUEEZE_FIRES}
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(x))
+        taps["relu1"] = x
+        x = fires[4](fires[3](_ceil_max_pool(x)))
+        taps["relu2"] = x
+        x = fires[7](fires[6](_ceil_max_pool(x)))
+        taps["relu3"] = x
+        x = fires[9](_ceil_max_pool(x))
+        taps["relu4"] = x
+        x = fires[10](x)
+        taps["relu5"] = x
+        x = fires[11](x)
+        taps["relu6"] = x
+        taps["relu7"] = fires[12](x)
+        return taps
+
+
+SQUEEZE_TAP_CHANNELS = {"relu1": 64, "relu2": 128, "relu3": 256,
+                        "relu4": 384, "relu5": 384, "relu6": 512,
+                        "relu7": 512}
+
 _BACKBONES = {
     "alex": (AlexNetFeatures, ALEX_TAP_CHANNELS),
     "vgg": (VGG16Features, VGG_TAP_CHANNELS),
+    "squeeze": (SqueezeNetFeatures, SQUEEZE_TAP_CHANNELS),
 }
 
 
 class LPIPS(nn.Module):
-    """LPIPS distance (``backbone`` = 'alex' or 'vgg'). Inputs NHWC in [0, 1]
-    (``normalize=True`` semantics of the lpips package) or [-1, 1] with
-    ``normalize=False``."""
+    """LPIPS distance (``backbone`` = 'alex', 'vgg', or 'squeeze'). Inputs
+    NHWC in [0, 1] (``normalize=True`` semantics of the lpips package) or
+    [-1, 1] with ``normalize=False``."""
 
     spatial: bool = False
     backbone: str = "alex"
@@ -143,9 +220,17 @@ def init_lpips(rng: jax.Array, H: int = 64, W: int = 64,
 
         params = load_torch_lpips(params, load_state_dict(weights_path),
                                   backbone=backbone)
-    # Ensure the metric is non-negative with arbitrary init: square of lin
-    # weights (torch lpips trains them non-negative).
-    params = jax.tree.map(jnp.abs, params)
+
+    # Ensure the metric is non-negative with arbitrary init: abs of the LIN
+    # HEAD weights only (torch lpips trains them non-negative; converted
+    # torch heads are already non-negative so this is a no-op for them).
+    # The backbone conv weights must keep their signs.
+    def _abs_lin_heads(path, x):
+        in_lin = any(str(getattr(k, "key", "")).startswith("lin_")
+                     for k in path)
+        return jnp.abs(x) if in_lin else x
+
+    params = jax.tree_util.tree_map_with_path(_abs_lin_heads, params)
     return model, params
 
 
@@ -160,21 +245,40 @@ _TORCH_CONV_IDX = {
 }
 
 
+def _find_by_suffix(state_dict, suffix: str):
+    """Fetch a tensor whose key ends with ``suffix`` — tolerant of both the
+    lpips package's ``net.slice{n}.{idx}...`` and torchvision's
+    ``net.features.{idx}...`` naming (the module index is preserved in
+    both)."""
+    for k in state_dict:
+        if k.endswith(suffix):
+            return np.asarray(state_dict[k])
+    raise KeyError(f"no state_dict key ends with {suffix!r}")
+
+
 def load_torch_lpips(params, state_dict, backbone: str = "alex") -> dict:
-    """Convert a torch ``lpips.LPIPS(net='alex'|'vgg')`` state_dict."""
+    """Convert a torch ``lpips.LPIPS(net='alex'|'vgg'|'squeeze')``
+    state_dict."""
     import copy
 
     out = copy.deepcopy(jax.device_get(params))
     p = out["params"]
-    for name, idx in _TORCH_CONV_IDX[backbone]:
-        w = np.asarray(state_dict[f"net.slice_or_features.{idx}.weight"]
-                       if f"net.slice_or_features.{idx}.weight" in state_dict
-                       else state_dict[f"net.features.{idx}.weight"])
-        b_key = (f"net.slice_or_features.{idx}.bias"
-                 if f"net.slice_or_features.{idx}.bias" in state_dict
-                 else f"net.features.{idx}.bias")
-        p["backbone"][name]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
-        p["backbone"][name]["bias"] = jnp.asarray(np.asarray(state_dict[b_key]))
+
+    def set_conv(tree_node, suffix_base):
+        w = _find_by_suffix(state_dict, f"{suffix_base}.weight")
+        tree_node["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+        tree_node["bias"] = jnp.asarray(
+            _find_by_suffix(state_dict, f"{suffix_base}.bias"))
+
+    if backbone == "squeeze":
+        set_conv(p["backbone"]["conv1"], ".0")
+        for idx, _, _ in _SQUEEZE_FIRES:
+            fire = p["backbone"][f"fire_{idx}"]
+            for sub in ("squeeze", "expand1x1", "expand3x3"):
+                set_conv(fire[sub], f".{idx}.{sub}")
+    else:
+        for name, idx in _TORCH_CONV_IDX[backbone]:
+            set_conv(p["backbone"][name], f".{idx}")
     for i, tap in enumerate(_BACKBONES[backbone][1]):
         w = np.asarray(state_dict[f"lins.{i}.model.1.weight"])  # [1, C, 1, 1]
         p[f"lin_{tap}"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))

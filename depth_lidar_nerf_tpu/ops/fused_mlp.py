@@ -176,10 +176,14 @@ def supports(params, use_viewdirs: bool, num_semantic: int, depth: int,
     """Whether the (v3 packed-encoding) fused kernel covers this model shape.
 
     Live skip concats (any ``s in skips`` with ``s < depth - 1``) are v4-only
-    (``fused_mlp_t.supports_rays``); this kernel rejects them."""
+    (``fused_mlp_t.supports_rays``); this kernel rejects them. A skip at
+    ``s == depth - 1`` concats into the HEADS (feature/sigma kernels widen to
+    ``[e_p + W, .]``) — no fused variant implements that, so it must be
+    rejected here too (``_pack_params`` would crash at dispatch otherwise),
+    matching ``supports_rays``/``supports_semantic``."""
     if not use_viewdirs or num_semantic > 0 or depth > 4 or depth < 1:
         return False
-    if any(0 <= s < depth - 1 for s in (skips or ())):
+    if any(0 <= s < depth for s in (skips or ())):
         return False
     if S != -1 and (S <= 0 or _TILE % S != 0):
         return False  # S=-1: defer the sample-count check to apply time

@@ -28,6 +28,7 @@ v4 when `DLNERF_FUSED_V4=1` or cfg requests it, else v3.
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -644,15 +645,18 @@ _ACTS_MAX_POINTS = int(os.environ.get("DLNERF_BWD_ACTS_MAX_POINTS",
                                       4 * 1024 * 1024))
 
 
-def _acts_bytes_per_point(depth: int, width: int) -> int:
-    # (depth + 1) [W] bf16 trunk/feature rows + one [W/2] view row.
-    return ((depth + 1) * width + width // 2) * 2
+def _acts_bytes_per_point(depth: int, width: int, dtype=jnp.bfloat16) -> int:
+    # (depth + 1) [W] trunk/feature rows + one [W/2] view row, stored in the
+    # COMPUTE dtype (the acts dump is written as-is, so f32 models cost 2x).
+    b = 2 if dtype == jnp.bfloat16 else 4
+    return ((depth + 1) * width + width // 2) * b
 
 
-def acts_points_cap(depth: int, width: int) -> int:
+def acts_points_cap(depth: int, width: int, dtype=jnp.bfloat16) -> int:
     """Point cap for the saved-acts backward at this topology: the byte
-    budget _ACTS_MAX_POINTS implies at its D=4/W=256 reference shape."""
-    return (_ACTS_MAX_POINTS * 2816) // _acts_bytes_per_point(depth, width)
+    budget _ACTS_MAX_POINTS implies at its D=4/W=256 bf16 reference shape."""
+    return (_ACTS_MAX_POINTS * 2816) // _acts_bytes_per_point(
+        depth, width, dtype)
 
 
 def _fwd_kernel_acts(spec, xt_ref, vt_ref, *refs):
@@ -1530,8 +1534,13 @@ def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
     skips = _live_skips(depth, skips)
     N, S = z_vals.shape
     tile_f = _fwd_tile_size(S)
-    rpt = max(tile_f // S, _acts_tile_fwd(S, depth, width, dtype) // S,
-              _acts_tile(S, depth, width, dtype) // S)
+    # LCM, not max: each pallas grid floor-divides P by ITS OWN tile, so the
+    # padded ray count must be divisible by every pass's rays-per-tile. The
+    # VMEM-capped acts tiles are _TILE multiples but not necessarily divisors
+    # of tile_f (e.g. 6144 vs 8192 at D=5/f32), where max-padding would
+    # silently drop the tail points from the acts grid.
+    rpt = math.lcm(tile_f // S, _acts_tile_fwd(S, depth, width, dtype) // S,
+                   _acts_tile(S, depth, width, dtype) // S)
     n_pad = (-N) % rpt
     n_full = N + n_pad
     if n_pad:
@@ -1620,7 +1629,7 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
         spec = (depth, dtype, S, multires, multires_views, sb, float(fwd_eps))
         raw_t = _fused_t_cf(params, ptsT, vdT, vt_b, aux, spec)
     elif (save_acts and bwd_acts_enabled()
-          and n_full * S <= acts_points_cap(depth, width)
+          and n_full * S <= acts_points_cap(depth, width, dtype)
           and n_full % (_acts_tile(S, depth, width, dtype) // S) == 0
           and n_full % (_acts_tile_fwd(S, depth, width, dtype) // S) == 0):
         vt_f = _build_vt(vdT, n_full, S, tile_f)

@@ -89,28 +89,31 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, s)
 
 
+def _tp_spec(x, tp: int) -> P:
+    """Column-parallel placement rule shared by :func:`shard_params` (device
+    placement) and :func:`param_constrainer` (in-jit constraint) — one copy,
+    so the two layouts cannot drift: any 1-D/2-D array whose LAST dim divides
+    ``tp`` and is at least ``4 * tp`` wide shards ``P(..., 'model')``; tiny
+    heads (out <= C) and scalars stay replicated."""
+    if (hasattr(x, "ndim") and x.ndim in (1, 2)
+            and x.shape[-1] % tp == 0 and x.shape[-1] >= 4 * tp):
+        return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+    return P()
+
+
 def shard_params(mesh: Mesh, tree):
     """Place a state/param pytree with model-TP sharding on a 2-D mesh.
 
-    Column-parallel rule: any 1-D/2-D float array whose LAST dim divides the
-    ``model`` axis size and is at least ``4 * tp`` wide is sharded
-    ``P(..., 'model')`` — this catches every trunk/feature/views Dense kernel
-    and bias (plus their Adam mu/nu mirrors, which have identical shapes)
-    while leaving the tiny sigma/rgb/semantic heads (out <= C) and all
-    scalars replicated. On a 1-D mesh this degrades to :func:`replicate`.
+    The :func:`_tp_spec` rule catches every trunk/feature/views Dense kernel
+    and bias (plus their Adam mu/nu mirrors, which have identical shapes).
+    On a 1-D mesh this degrades to :func:`replicate`.
     """
     tp = model_parallel_size(mesh)
     if tp <= 1:
         return replicate(mesh, tree)
-
-    def spec(x):
-        if (hasattr(x, "ndim") and x.ndim in (1, 2)
-                and x.shape[-1] % tp == 0 and x.shape[-1] >= 4 * tp):
-            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
-        return P()
-
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), tree)
+        lambda x: jax.device_put(x, NamedSharding(mesh, _tp_spec(x, tp))),
+        tree)
 
 
 def param_constrainer(mesh: Optional[Mesh]):
@@ -126,16 +129,10 @@ def param_constrainer(mesh: Optional[Mesh]):
     if tp <= 1:
         return lambda tree: tree
 
-    def spec(x):
-        if (hasattr(x, "ndim") and x.ndim in (1, 2)
-                and x.shape[-1] % tp == 0 and x.shape[-1] >= 4 * tp):
-            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
-        return P()
-
     def constrain(tree):
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, spec(x)))
+                x, NamedSharding(mesh, _tp_spec(x, tp)))
             if hasattr(x, "ndim") else x, tree)
 
     return constrain

@@ -336,6 +336,22 @@ def render_rays(
     return ret
 
 
+def pick_render_tile(model, fine_model, params, cfg: RenderConfig,
+                     n: int) -> int:
+    """Default ray-tile policy for :func:`render_rays_tiled`.
+
+    Readiness is evaluated at the ACTUAL tile (post-clamp to the ``n`` rays
+    being rendered): the per-tile dispatch re-checks e.g. mesh divisibility
+    (``rays_ok``), and a tile that fails it falls to the Flax path, where the
+    fused policy's netchunk bypass is no longer vacuously safe — so a render
+    whose clamped tile is not fused-ready must take the netchunk-honoring
+    tile instead."""
+    fused_tile = min(cfg.render_tile(fused=True), max(n, 1))
+    if fused_eval_ready(model, fine_model, params, cfg, fused_tile):
+        return fused_tile
+    return cfg.render_tile()
+
+
 def render_rays_tiled(
     model,
     fine_model,
@@ -353,12 +369,9 @@ def render_rays_tiled(
     Results are bit-identical to a one-shot :func:`render_rays` when
     ``rng=None``. With an rng, each tile folds in its index.
     """
-    if tile is None:
-        fused_tile = cfg.render_tile(fused=True)
-        tile = (fused_tile
-                if fused_eval_ready(model, fine_model, params, cfg, fused_tile)
-                else cfg.render_tile())
     n = rays.origins.shape[0]
+    if tile is None:
+        tile = pick_render_tile(model, fine_model, params, cfg, n)
     tile = min(tile, n)
     n_pad = (-n) % tile
     padded = jax.tree.map(lambda x: jnp.pad(x, ((0, n_pad), (0, 0)), mode="edge"), rays)

@@ -185,13 +185,8 @@ def _validate_flags(cfg: TrainConfig) -> None:
     Accepting them silently diverges from a user's stated intent, so they are
     rejected or warned about here (round-1 VERDICT weak #7).
     """
-    if (cfg.mesh_shape and len(cfg.mesh_shape) == 2 and cfg.mesh_shape[1] > 1
-            and cfg.use_fused_mlp):
-        raise ValueError(
-            "mesh_shape=[dp, tp] with tp > 1 (model tensor parallelism) "
-            "requires the Flax MLP path: the fused Pallas kernels are "
-            "per-device and cannot shard the weight matrices. Set "
-            "use_fused_mlp=False or use a 1-D ray-DP mesh.")
+    # (fused_mlp + model-TP rejection lives in build_models, the layer that
+    # actually constructs the fused model — state.py.)
     if cfg.depth_with_rgb:
         raise ValueError(
             "--depth_with_rgb is unsupported: the reference's own branch is "
@@ -204,13 +199,13 @@ def _validate_flags(cfg: TrainConfig) -> None:
         # run_nerf.py:1245-1246 exits with the same message.
         raise ValueError("FEATURE LOSS TYPE CAN BE vgg OR lpips")
     if (cfg.feature_loss and cfg.feature_loss_type == "lpips"
-            and cfg.lpips_backbone not in ("alex", "vgg")):
-        # run_nerf.py:1242 accepts net=alex|vgg|squeeze; squeeze
-        # (SqueezeNet) has no Flax backbone here and is rejected explicitly.
+            and cfg.lpips_backbone not in ("alex", "vgg", "squeeze")):
+        # run_nerf.py:1242 accepts net=alex|vgg|squeeze; all three ship.
         raise ValueError(
             f"lpips_backbone={cfg.lpips_backbone!r} is not implemented; the "
-            "Flax LPIPS here ships 'alex' (the reference default, "
-            "run_nerf.py:1242) and 'vgg' (VGG16). 'squeeze' is unsupported.")
+            "Flax LPIPS ships 'alex' (the reference default, "
+            "run_nerf.py:1242), 'vgg' (VGG16), and 'squeeze' "
+            "(SqueezeNet1.1).")
     if (cfg.feature_loss and cfg.feature_loss_type == "lpips"
             and min(cfg.nH, cfg.nW) < 31):
         raise ValueError(

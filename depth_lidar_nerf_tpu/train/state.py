@@ -101,8 +101,8 @@ class FusedMLP:
         if (jax.default_backend() not in ("tpu", "axon")
                 and not fused_mlp.interpret_mode()):
             return False
-        if n_points > fused_mlp_t.acts_points_cap(self.module.depth,
-                                                  self.module.width):
+        if n_points > fused_mlp_t.acts_points_cap(
+                self.module.depth, self.module.width, self.module.dtype):
             return False
         return fused_mlp_t.supports_semantic(
             params, self.module.use_viewdirs, self.module.depth,

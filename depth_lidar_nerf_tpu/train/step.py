@@ -95,7 +95,6 @@ class StepFns(NamedTuple):
 class StepPlan(NamedTuple):
     """What build_step_fns hands the train loop."""
 
-    base: Any  # the no-patch, no-precrop single-step fn
     select: Any  # i -> (step_fn, needs_patch)
     variant_key: Any  # i -> (feature_on, gan_on, smooth_on, precrop_on)
     get_multi: Any  # (k, precrop_on) -> K-step scan fn
@@ -374,10 +373,18 @@ def make_train_step(
         # safe — the old 4096 cap ran the chip ~4x under-fed (PERF.md).
         # A fused-ready render also ignores the shipped netchunk=16384 ray
         # throttle (fern_dsnerf.txt:14 is a GPU-memory workaround).
-        fused = fused_eval_ready(models.coarse, models.fine, p, rcfg, 16384)
+        # The 16k sweet spot is only safe on the fused (VMEM-streaming) path;
+        # readiness is checked at the EXACT tile that will run. The Flax
+        # fallback materializes [tile*S, W] activations in HBM, so it keeps
+        # the old conservative 4096 cap.
+        t_fused = min(16384, rcfg.render_tile(fused=True),
+                      ng_rays.origins.shape[0])
+        if fused_eval_ready(models.coarse, models.fine, p, rcfg, t_fused):
+            tile = t_fused
+        else:
+            tile = min(4096, rcfg.render_tile())
         return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
-                                 rng=rng,
-                                 tile=min(16384, rcfg.render_tile(fused=fused)))
+                                 rng=rng, tile=tile)
 
     def disc_step(state, gt_patch, fake_patches, rng):
         """Discriminator update on detached patches (run_nerf.py:1779-1816)."""
@@ -510,4 +517,4 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
                 k_steps=k)
         return multi_variants[mkey]
 
-    return StepPlan(base, select, variant_key, get_multi)
+    return StepPlan(select, variant_key, get_multi)

@@ -7,6 +7,8 @@ numerics are spot-checked separately (bf16 rounding-path noise only —
 PERF.md).
 """
 
+import math
+
 import numpy as np
 import pytest
 
@@ -510,5 +512,41 @@ def test_acts_tile_policy_vmem_aware():
     assert _acts_tile_fwd(128, 8, 256, jnp.bfloat16) == 8192
     # The HBM cap is byte-based: deeper trunks admit fewer points.
     assert acts_points_cap(8, 256) < acts_points_cap(4, 256)
+    # ... and dtype-aware: f32 acts dumps cost 2x the bytes, so half the
+    # points. Dtype-blind caps would admit 2x the HBM budget for f32 models.
+    assert acts_points_cap(4, 256, jnp.float32) * 2 == acts_points_cap(
+        4, 256, jnp.bfloat16)
+    assert (acts_points_cap(8, 256, jnp.bfloat16) // 2
+            == acts_points_cap(8, 256, jnp.float32))
     # documented 2816 B/point of saved acts + the [4] f32 raw window row
     assert _acts_point_bytes(4, 256, jnp.bfloat16) == 2816 + 16
+
+
+def test_semantic_pad_covers_every_grid():
+    """The semantic acts path pads rays once for THREE pallas grids (dense
+    forward, acts forward, acts backward). Each grid floor-divides the
+    point count by its own tile, so the pad unit must be the LCM of the
+    rays-per-tile values — max-padding silently drops tail points whenever
+    the VMEM-capped acts tile is not a divisor of the forward tile (e.g.
+    6144 vs 8192 at D=5..6/f32, W=256)."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        _acts_tile, _acts_tile_fwd, _fwd_tile_size)
+
+    S = 128
+    hit_mismatch = False
+    for depth in (4, 5, 6, 7, 8):
+        for dtype in (jnp.bfloat16, jnp.float32):
+            tile_f = _fwd_tile_size(S)
+            t_a = _acts_tile_fwd(S, depth, 256, dtype)
+            t_b = _acts_tile(S, depth, 256, dtype)
+            rpt = math.lcm(tile_f // S, t_a // S, t_b // S)
+            if t_a not in (tile_f, t_b) or tile_f % t_a or tile_f % t_b:
+                hit_mismatch = True
+            for N in (1024, 1000, 64):
+                n_full = N + (-N) % rpt
+                for t in (tile_f, t_a, t_b):
+                    assert (n_full * S) % t == 0, (depth, dtype, N, t)
+                    # max-padding is NOT sufficient in general; the LCM is.
+    # The sweep must actually contain a tile-mismatch case, or it tests
+    # nothing beyond the old max-padding.
+    assert hit_mismatch

@@ -178,11 +178,11 @@ def scene_dir_big(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("backbone", ["alex", "vgg"])
+@pytest.mark.parametrize("backbone", ["alex", "vgg", "squeeze"])
 def test_lpips_feature_loss_train(scene_dir_big, tmp_path, backbone):
     """--feature_loss_type lpips as the train-time patch loss, with spatial
-    map logging, over both implemented backbones (run_nerf.py:1240-1246,
-    1242 net=alex|vgg, 1708-1721)."""
+    map logging, over all three reference backbones (run_nerf.py:1240-1246,
+    1242 net=alex|vgg|squeeze, 1708-1721)."""
     cfg = _tiny_cfg(
         scene_dir_big, tmp_path, N_iters=10, i_weights=10, i_print=5,
         feature_loss=True, feature_start_iteration=1, feature_loss_every_n=5,
@@ -194,13 +194,14 @@ def test_lpips_feature_loss_train(scene_dir_big, tmp_path, backbone):
     assert int(state.step) == 10
 
 
-def test_lpips_squeeze_backbone_rejected(scene_dir_big, tmp_path):
-    """run_nerf.py:1242 also accepts net=squeeze; here it must be rejected
-    with a clear message, not fail deep in model build."""
+def test_lpips_unknown_backbone_rejected(scene_dir_big, tmp_path):
+    """An unknown lpips backbone must be rejected with a clear message, not
+    fail deep in model build (run_nerf.py:1242 accepts alex|vgg|squeeze —
+    all three ship here)."""
     cfg = _tiny_cfg(scene_dir_big, tmp_path, feature_loss=True,
-                    feature_loss_type="lpips", lpips_backbone="squeeze",
+                    feature_loss_type="lpips", lpips_backbone="resnet",
                     nH=32, nW=32, gradH=4, gradW=4)
-    with pytest.raises(ValueError, match="squeeze"):
+    with pytest.raises(ValueError, match="resnet"):
         train(cfg)
 
 
@@ -425,6 +426,43 @@ def test_fused_eval_ready_predicate():
     # S not tiling the kernel tile disqualifies the shape outright
     rc_odd = RenderConfig(N_samples=63, N_importance=0, netchunk=16384)
     assert not fused_eval_ready(_FusedModel(True), None, params, rc_odd, 16384)
+
+
+def test_pick_render_tile_reevaluates_at_clamped_tile():
+    """The tile policy must judge fused-readiness at the ACTUAL tile: a ray
+    count below chunk clamps the tile, and a clamped tile that fails a
+    per-tile dispatch check (e.g. mesh divisibility via rays_ok) renders on
+    the Flax path — which must then get the netchunk-honoring tile, not the
+    fused (un-throttled) one."""
+    from depth_lidar_nerf_tpu.render import RenderConfig
+    from depth_lidar_nerf_tpu.render.renderer import pick_render_tile
+
+    class _MeshFusedModel:
+        """Fused model on an 8-way mesh: per-tile dispatch needs 8 | rays."""
+
+        def rays_ok(self, n):
+            return n % 8 == 0
+
+        def supports_raw(self, params, cfg):
+            return True
+
+        supports_rays_path = supports_raw
+
+        def apply_rays(self, *a, **k):
+            raise AssertionError("policy only")
+
+    rc = RenderConfig(N_samples=64, N_importance=64, chunk=32768,
+                      netchunk=16384)
+    m = _MeshFusedModel()
+    params = {"coarse": {}, "fine": {}}
+    # 8-divisible render below chunk: fused at the clamped tile.
+    assert pick_render_tile(m, m, params, rc, 16384) == 16384
+    # 101x101 image (10201 rays): the clamped tile fails rays_ok, so the
+    # policy falls back to the netchunk-honoring (Flax-safe) tile.
+    assert pick_render_tile(m, m, params, rc, 10201) == rc.render_tile()
+    assert pick_render_tile(m, m, params, rc, 10201) < 10201
+    # Large renders tile at the fused chunk as before.
+    assert pick_render_tile(m, m, params, rc, 500_000) == 32768
 
 
 def test_eval_metrics_cli(scene_dir, tmp_path, capsys):

@@ -91,6 +91,82 @@ def test_vgg_feature_maps_match_torch(tmp_path, taps):
                                    rtol=2e-4, atol=2e-4)
 
 
+def _build_torch_squeezenet_features(seed: int = 0):
+    """torchvision ``squeezenet1_1().features`` topology, random weights."""
+    import torch.nn as nn
+
+    class Fire(nn.Module):
+        def __init__(self, cin, s, e):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, s, 1)
+            self.expand1x1 = nn.Conv2d(s, e, 1)
+            self.expand3x3 = nn.Conv2d(s, e, 3, padding=1)
+
+        def forward(self, x):
+            x = torch.relu(self.squeeze(x))
+            return torch.cat([torch.relu(self.expand1x1(x)),
+                              torch.relu(self.expand3x3(x))], 1)
+
+    torch.manual_seed(seed)
+    pool = lambda: nn.MaxPool2d(3, 2, ceil_mode=True)  # noqa: E731
+    return nn.Sequential(
+        nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(), pool(),
+        Fire(64, 16, 64), Fire(128, 16, 64), pool(),
+        Fire(128, 32, 128), Fire(256, 32, 128), pool(),
+        Fire(256, 48, 192), Fire(384, 48, 192),
+        Fire(384, 64, 256), Fire(512, 64, 256)).eval()
+
+
+# features idx -> LPIPS tap (the lpips package's 7 squeeze slice ends).
+_SQUEEZE_TAP_IDX = {1: "relu1", 4: "relu2", 7: "relu3", 9: "relu4",
+                    10: "relu5", 11: "relu6", 12: "relu7"}
+
+
+def test_lpips_squeeze_feature_maps_match_torch(tmp_path):
+    """Golden for the SqueezeNet LPIPS backbone: pins the VALID-padded s2
+    stem, the ceil-mode 3x3/s2 max-pools (odd sizes chosen so ceil-mode
+    actually pads), Fire concat order, and the 7 tap locations against a
+    live-torch squeezenet1_1 ``features`` with random weights, loaded
+    through the production .pth reader + converter."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.models.lpips import (LPIPS, SqueezeNetFeatures,
+                                                   load_torch_lpips)
+    from depth_lidar_nerf_tpu.utils.torch_weights import load_state_dict
+
+    model = _build_torch_squeezenet_features()
+    sd = {f"net.features.{k}": v for k, v in model.state_dict().items()}
+    torch.manual_seed(1)
+    for i, c in enumerate([64, 128, 256, 384, 384, 512, 512]):
+        sd[f"lins.{i}.model.1.weight"] = torch.randn(1, c, 1, 1).abs()
+    pth = tmp_path / "lpips_squeeze_random.pth"
+    torch.save(sd, str(pth))
+
+    # 37x41: after the stem, both dims make the ceil-mode pools pad.
+    x = np.random.default_rng(2).normal(size=(2, 37, 41, 3)).astype(np.float32)
+    lp = LPIPS(backbone="squeeze")
+    params = lp.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(x))
+    params = load_torch_lpips(params, load_state_dict(str(pth)),
+                              backbone="squeeze")
+    got = SqueezeNetFeatures().apply(
+        {"params": params["params"]["backbone"]}, jnp.asarray(x))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = {}
+        for idx, layer in enumerate(model):
+            t = layer(t)
+            if idx in _SQUEEZE_TAP_IDX:
+                want[_SQUEEZE_TAP_IDX[idx]] = t.numpy().transpose(0, 2, 3, 1)
+
+    assert set(got) == set(want)
+    for name, w in want.items():
+        assert got[name].shape == w.shape, name
+        np.testing.assert_allclose(np.asarray(got[name]), w,
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_lpips_conv_weights_roundtrip_through_pth(tmp_path):
     """LPIPS linear-head weights: torch .pth -> torch-free reader -> numpy."""
     from depth_lidar_nerf_tpu.utils.torch_weights import load_state_dict
