@@ -440,6 +440,42 @@ def test_fused_semantic_matches_flax(depth, skips):
     _grad_compare(loss_ref, loss_fused, params, tol=1e-3)
 
 
+def test_fused_semantic_mismatched_acts_tile(monkeypatch):
+    """Equivalence at a tile mismatch: the acts-forward tile (48 rays) does
+    not divide the dense-forward tile (64 rays), the configuration where
+    max-padding (instead of LCM-padding) floor-dropped the tail rays from
+    the acts grid and returned garbage raw/semantic values and gradients
+    for them. Arises in production at D=5..6/f32/W=256 via the VMEM cap."""
+    from depth_lidar_nerf_tpu.ops import fused_mlp_t
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        fused_nerf_apply_rays_semantic)
+
+    monkeypatch.setattr(fused_mlp_t, "_ACTS_TILE_FWD", 6144)  # 48 rays @S=128
+    assert fused_mlp_t._acts_tile_fwd(128, 4, 64, jnp.float32) == 6144
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem(N=8)
+    kw = dict(depth=4, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32, skips=(4,))
+    ref = np.asarray(model.apply(params, pe, veb))
+    raw, sem = fused_nerf_apply_rays_semantic(params, ro, rd, vd, z, **kw)
+    np.testing.assert_allclose(np.asarray(raw).transpose(1, 2, 0),
+                               ref[..., :4], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sem),
+                               ref[..., 4:].astype(np.float64).sum(axis=1),
+                               rtol=1e-4, atol=1e-3)
+
+    def loss_ref(p):
+        out = model.apply(p, pe, veb)
+        return (jnp.mean(jnp.sin(out[..., :4]) ** 2)
+                + jnp.mean(jnp.sum(out[..., 4:], axis=1) ** 2))
+
+    def loss_fused(p):
+        raw, sem = fused_nerf_apply_rays_semantic(p, ro, rd, vd, z, **kw)
+        return (jnp.mean(jnp.sin(raw.transpose(1, 2, 0)) ** 2)
+                + jnp.mean(sem ** 2))
+
+    _grad_compare(loss_ref, loss_fused, params, tol=1e-3)
+
+
 def test_composite_semantic_fused_matches_flax():
     """_composite_from_z dispatches semantic models to the fast path and the
     composited maps (incl. the unweighted semantic sum) match the Flax path."""
