@@ -221,17 +221,21 @@ def init_lpips(rng: jax.Array, H: int = 64, W: int = 64,
         params = load_torch_lpips(params, load_state_dict(weights_path),
                                   backbone=backbone)
 
-    # Ensure the metric is non-negative with arbitrary init: abs of the LIN
-    # HEAD weights only (torch lpips trains them non-negative; converted
-    # torch heads are already non-negative so this is a no-op for them).
-    # The backbone conv weights must keep their signs.
-    def _abs_lin_heads(path, x):
+    return model, abs_lin_heads(params)
+
+
+def abs_lin_heads(params):
+    """Ensure the metric is non-negative with arbitrary init: abs of the LIN
+    HEAD weights only (torch lpips trains them non-negative; converted torch
+    heads are already non-negative so this is a no-op for them). The backbone
+    conv weights must keep their signs."""
+
+    def _abs(path, x):
         in_lin = any(str(getattr(k, "key", "")).startswith("lin_")
                      for k in path)
         return jnp.abs(x) if in_lin else x
 
-    params = jax.tree_util.tree_map_with_path(_abs_lin_heads, params)
-    return model, params
+    return jax.tree_util.tree_map_with_path(_abs, params)
 
 
 # torchvision `features` module indices of the tapped convs per backbone.

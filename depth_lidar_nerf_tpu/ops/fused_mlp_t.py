@@ -646,10 +646,10 @@ _ACTS_MAX_POINTS = int(os.environ.get("DLNERF_BWD_ACTS_MAX_POINTS",
 
 
 def _acts_bytes_per_point(depth: int, width: int, dtype=jnp.bfloat16) -> int:
-    # (depth + 1) [W] trunk/feature rows + one [W/2] view row, stored in the
-    # COMPUTE dtype (the acts dump is written as-is, so f32 models cost 2x).
-    b = 2 if dtype == jnp.bfloat16 else 4
-    return ((depth + 1) * width + width // 2) * b
+    # HBM cost of the acts DUMP alone: the VMEM window formula minus the
+    # [4] f32 raw row (which exists on every path, saved-acts or not).
+    # Single source of truth for the layout: _acts_point_bytes.
+    return _acts_point_bytes(depth, width, dtype) - 16
 
 
 def acts_points_cap(depth: int, width: int, dtype=jnp.bfloat16) -> int:
@@ -1534,13 +1534,7 @@ def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
     skips = _live_skips(depth, skips)
     N, S = z_vals.shape
     tile_f = _fwd_tile_size(S)
-    # LCM, not max: each pallas grid floor-divides P by ITS OWN tile, so the
-    # padded ray count must be divisible by every pass's rays-per-tile. The
-    # VMEM-capped acts tiles are _TILE multiples but not necessarily divisors
-    # of tile_f (e.g. 6144 vs 8192 at D=5/f32), where max-padding would
-    # silently drop the tail points from the acts grid.
-    rpt = math.lcm(tile_f // S, _acts_tile_fwd(S, depth, width, dtype) // S,
-                   _acts_tile(S, depth, width, dtype) // S)
+    rpt = _acts_pad_rays_per_tile(S, depth, width, dtype)
     n_pad = (-N) % rpt
     n_full = N + n_pad
     if n_pad:
@@ -1565,6 +1559,27 @@ def _apply_rays_semantic_core(params, rays_o, rays_d, viewdirs, z_vals, *,
     if n_pad:
         raw, sem_ray = raw[:, :N], sem_ray[:N]
     return raw, sem_ray
+
+
+def _acts_pad_rays_per_tile(S: int, depth: int, width: int, dtype) -> int:
+    """Ray-pad unit for the saved-acts paths: the LCM (not max) of the three
+    grids' rays-per-tile — each pallas grid floor-divides P by ITS OWN tile,
+    so the padded ray count must be divisible by every pass's rays-per-tile.
+    The VMEM-capped acts tiles are _TILE multiples but not necessarily
+    divisors of the forward tile (e.g. 6144 vs 8192 at D=5/f32), where
+    max-padding would silently drop the tail points from the acts grid."""
+    return math.lcm(_fwd_tile_size(S) // S,
+                    _acts_tile_fwd(S, depth, width, dtype) // S,
+                    _acts_tile(S, depth, width, dtype) // S)
+
+
+def semantic_padded_rays(n_rays: int, S: int, depth: int, width: int,
+                         dtype=jnp.bfloat16) -> int:
+    """Ray count after the semantic acts path's padding — what the HBM acts
+    byte budget must actually admit (dispatch predicates that check the cap
+    at the unpadded count undercount by up to rpt - 1 rays)."""
+    rpt = _acts_pad_rays_per_tile(S, depth, width, dtype)
+    return n_rays + (-n_rays) % rpt
 
 
 def _fwd_tile_size(S: int) -> int:
@@ -1599,8 +1614,17 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
 
     tile_f = _fwd_tile_size(S)
     # The cf path regroups into (RB x SB) blocks, so rays pad to RB; the
-    # dense forward pads to its (larger) tile's ray count.
-    rays_per_ftile = _TILE // sb if use_cf else tile_f // S
+    # dense forward pads to its (larger) tile's ray count; the saved-acts
+    # path pads to the LCM over all three grids so its divisibility guards
+    # below hold whenever the byte cap admits the batch (padding only to
+    # tile_f would permanently disengage the acts backward when the
+    # VMEM-capped acts tile doesn't divide tile_f, e.g. D=5..6/f32).
+    if use_cf:
+        rays_per_ftile = _TILE // sb
+    elif save_acts and bwd_acts_enabled():
+        rays_per_ftile = _acts_pad_rays_per_tile(S, depth, width, dtype)
+    else:
+        rays_per_ftile = tile_f // S
     n_pad = (-N) % rays_per_ftile
     n_full = N + n_pad
     if n_pad:

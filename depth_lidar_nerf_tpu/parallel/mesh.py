@@ -92,9 +92,10 @@ def replicate(mesh: Mesh, tree):
 def _tp_spec(x, tp: int) -> P:
     """Column-parallel placement rule shared by :func:`shard_params` (device
     placement) and :func:`param_constrainer` (in-jit constraint) — one copy,
-    so the two layouts cannot drift: any 1-D/2-D array whose LAST dim divides
-    ``tp`` and is at least ``4 * tp`` wide shards ``P(..., 'model')``; tiny
-    heads (out <= C) and scalars stay replicated."""
+    so the two layouts cannot drift: any 1-D/2-D array whose LAST dim is
+    divisible by ``tp`` and at least ``4 * tp`` wide shards
+    ``P(..., 'model')``; tiny heads (out <= C) and scalars stay
+    replicated."""
     if (hasattr(x, "ndim") and x.ndim in (1, 2)
             and x.shape[-1] % tp == 0 and x.shape[-1] >= 4 * tp):
         return P(*([None] * (x.ndim - 1)), MODEL_AXIS)

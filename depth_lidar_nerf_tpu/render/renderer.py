@@ -169,7 +169,7 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
             and hasattr(model, "apply_rays_semantic")
             and rays.viewdirs is not None and supports_rays_shape(S)
             and model.supports_raw_semantic(
-                params, cfg, n_points=z_vals.shape[0] * S)
+                params, cfg, n_points=z_vals.shape[0] * S, S=S)
             and (not hasattr(model, "rays_ok")
                  or model.rays_ok(z_vals.shape[0]))):
         # Semantic fast path: kernel raw + IN-KERNEL semantic head
@@ -242,7 +242,8 @@ def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
             return False
         if cfg.num_semantic_classes > 0:
             return (hasattr(m, "apply_rays_semantic")
-                    and m.supports_raw_semantic(p, cfg, n_points=tile * S))
+                    and m.supports_raw_semantic(p, cfg, n_points=tile * S,
+                                                S=S))
         return (hasattr(m, "apply_rays")
                 and hasattr(m, "supports_raw")
                 and getattr(m, "supports_rays_path", m.supports_raw)(p, cfg))
@@ -336,20 +337,25 @@ def render_rays(
     return ret
 
 
-def pick_render_tile(model, fine_model, params, cfg: RenderConfig,
-                     n: int) -> int:
-    """Default ray-tile policy for :func:`render_rays_tiled`.
+def pick_render_tile(model, fine_model, params, cfg: RenderConfig, n: int,
+                     fused_cap: int | None = None,
+                     flax_cap: int | None = None) -> int:
+    """Ray-tile policy for :func:`render_rays_tiled` (and the train step's
+    no-grad patch render, which passes tighter ``fused_cap``/``flax_cap``).
 
     Readiness is evaluated at the ACTUAL tile (post-clamp to the ``n`` rays
-    being rendered): the per-tile dispatch re-checks e.g. mesh divisibility
-    (``rays_ok``), and a tile that fails it falls to the Flax path, where the
-    fused policy's netchunk bypass is no longer vacuously safe — so a render
-    whose clamped tile is not fused-ready must take the netchunk-honoring
-    tile instead."""
+    being rendered and to ``fused_cap``): the per-tile dispatch re-checks
+    e.g. mesh divisibility (``rays_ok``), and a tile that fails it falls to
+    the Flax path, where the fused policy's netchunk bypass is no longer
+    vacuously safe — so a render whose clamped tile is not fused-ready must
+    take the netchunk-honoring tile instead."""
     fused_tile = min(cfg.render_tile(fused=True), max(n, 1))
+    if fused_cap is not None:
+        fused_tile = min(fused_tile, fused_cap)
     if fused_eval_ready(model, fine_model, params, cfg, fused_tile):
         return fused_tile
-    return cfg.render_tile()
+    tile = cfg.render_tile()
+    return tile if flax_cap is None else min(tile, flax_cap)
 
 
 def render_rays_tiled(

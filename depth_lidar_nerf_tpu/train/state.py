@@ -88,19 +88,25 @@ class FusedMLP:
             multires_views=cfg.multires_views, dtype=self.module.dtype,
             mesh=self.mesh)
 
-    def supports_raw_semantic(self, params, cfg, n_points=0) -> bool:
+    def supports_raw_semantic(self, params, cfg, n_points=0, S=0) -> bool:
         """Whether the semantic-head acts fast path covers this call.
 
         ``n_points`` (n_rays * n_samples) applies the same activation-HBM cap
         as the rgb acts path: a differentiated batch beyond the byte budget
         (fused_mlp_t.acts_points_cap — ~2.8KB/point at D=4/W=256, ~4.9KB at
         the reference-default D=8) would OOM HBM, so it falls back to Flax.
+        With ``S`` (samples per ray) given, the cap is checked at the count
+        the kernel actually materializes after its LCM ray padding.
         """
         from depth_lidar_nerf_tpu.ops import fused_mlp, fused_mlp_t
 
         if (jax.default_backend() not in ("tpu", "axon")
                 and not fused_mlp.interpret_mode()):
             return False
+        if n_points and S:
+            n_points = fused_mlp_t.semantic_padded_rays(
+                -(-n_points // S), S, self.module.depth, self.module.width,
+                self.module.dtype) * S
         if n_points > fused_mlp_t.acts_points_cap(
                 self.module.depth, self.module.width, self.module.dtype):
             return False
@@ -352,19 +358,24 @@ def init_vgg_params(cfg: TrainConfig, models: Models, rng: jax.Array):
     import os
 
     if models.lpips is not None:
+        from depth_lidar_nerf_tpu.models.lpips import (abs_lin_heads,
+                                                       load_torch_lpips)
+
         x = jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32)
         params = models.lpips.init(rng, x, x)
         for cand in (os.environ.get("LPIPS_TORCH_WEIGHTS"),
                      os.path.join(cfg.datadir,
                                   f"lpips_{cfg.lpips_backbone}.pth")):
             if cand and os.path.exists(cand):
-                from depth_lidar_nerf_tpu.models.lpips import load_torch_lpips
                 from depth_lidar_nerf_tpu.utils.torch_weights import (
                     load_state_dict)
 
-                return load_torch_lpips(params, load_state_dict(cand),
-                                        backbone=cfg.lpips_backbone)
-        return jax.tree.map(jnp.abs, params)
+                params = load_torch_lpips(params, load_state_dict(cand),
+                                          backbone=cfg.lpips_backbone)
+                break
+        # Lin heads only — a whole-tree abs would strip the backbone conv
+        # weights' signs (matching init_lpips, models/lpips.py).
+        return abs_lin_heads(params)
     if models.vgg is None:
         return None
     params = models.vgg.init(rng, jnp.zeros((1, cfg.nH, cfg.nW, 3), jnp.float32))

@@ -30,8 +30,8 @@ from depth_lidar_nerf_tpu.ops.rays import patch_ray_dirs
 from depth_lidar_nerf_tpu.ops.sampling import stratified_z_vals
 from depth_lidar_nerf_tpu.render.renderer import (
     RenderConfig,
-    fused_eval_ready,
     make_rays,
+    pick_render_tile,
     query_network,
     render_rays,
     render_rays_tiled,
@@ -373,16 +373,13 @@ def make_train_step(
         # safe — the old 4096 cap ran the chip ~4x under-fed (PERF.md).
         # A fused-ready render also ignores the shipped netchunk=16384 ray
         # throttle (fern_dsnerf.txt:14 is a GPU-memory workaround).
-        # The 16k sweet spot is only safe on the fused (VMEM-streaming) path;
-        # readiness is checked at the EXACT tile that will run. The Flax
-        # fallback materializes [tile*S, W] activations in HBM, so it keeps
-        # the old conservative 4096 cap.
-        t_fused = min(16384, rcfg.render_tile(fused=True),
-                      ng_rays.origins.shape[0])
-        if fused_eval_ready(models.coarse, models.fine, p, rcfg, t_fused):
-            tile = t_fused
-        else:
-            tile = min(4096, rcfg.render_tile())
+        # The 16k-ray sweet spot is only safe on the fused (VMEM-streaming)
+        # path; the Flax fallback materializes [tile*S, W] activations in
+        # HBM, so it keeps the conservative 4096 cap. pick_render_tile
+        # checks readiness at the EXACT tile that will run.
+        tile = pick_render_tile(models.coarse, models.fine, p, rcfg,
+                                ng_rays.origins.shape[0],
+                                fused_cap=16384, flax_cap=4096)
         return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
                                  rng=rng, tile=tile)
 

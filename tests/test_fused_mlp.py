@@ -490,7 +490,7 @@ def test_composite_semantic_fused_matches_flax():
     rays = Rays(ro, rd, vd, jnp.full((8, 1), 2.0), jnp.full((8, 1), 6.0))
     fused = FusedMLP(model)
     fused.supports_raw_semantic = \
-        lambda p, c, n_points=0: True  # CPU interpret override
+        lambda p, c, n_points=0, S=0: True  # CPU interpret override
 
     out_ref = _composite_from_z(model, params, rays, z, cfg, None)
     out_f = _composite_from_z(fused, params, rays, z, cfg, None)
@@ -586,3 +586,26 @@ def test_semantic_pad_covers_every_grid():
     # The sweep must actually contain a tile-mismatch case, or it tests
     # nothing beyond the old max-padding.
     assert hit_mismatch
+
+
+def test_acts_padding_helpers():
+    """The shared pad-unit/padded-count helpers: plain forward-tile pad at
+    the headline shape, LCM pad at the mismatch shapes, and the padded count
+    is what the HBM cap must admit."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        _acts_pad_rays_per_tile, _acts_tile, _acts_tile_fwd, _fwd_tile_size,
+        semantic_padded_rays)
+
+    # Headline D=4/bf16: every tile divides the forward tile -> pad unit is
+    # the forward tile's rays (no regression vs the old max-padding).
+    assert _acts_pad_rays_per_tile(128, 4, 256, jnp.bfloat16) == \
+        _fwd_tile_size(128) // 128
+    # Mismatch shape: pad unit is the LCM over all three grids.
+    rpt = _acts_pad_rays_per_tile(128, 5, 256, jnp.float32)
+    for t in (_fwd_tile_size(128), _acts_tile_fwd(128, 5, 256, jnp.float32),
+              _acts_tile(128, 5, 256, jnp.float32)):
+        assert (rpt * 128) % t == 0
+    # semantic_padded_rays rounds a batch up to that unit.
+    assert semantic_padded_rays(1024, 128, 5, 256, jnp.float32) \
+        == 1024 + (-1024) % rpt
+    assert semantic_padded_rays(rpt, 128, 5, 256, jnp.float32) == rpt

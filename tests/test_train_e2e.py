@@ -241,6 +241,31 @@ def test_lpips_feature_loss_has_gradient(scene_dir_big, tmp_path):
     assert d > 0.0
 
 
+def test_init_vgg_params_lpips_keeps_backbone_signs(scene_dir_big, tmp_path):
+    """Random-init LPIPS params: only the lin heads are forced non-negative.
+    A whole-tree abs would sign-strip the backbone conv weights, putting the
+    train-time feature loss in a different metric space from the test-time
+    metric (init_lpips) seeded identically."""
+    import jax
+
+    from depth_lidar_nerf_tpu.train.config import render_config_from
+    from depth_lidar_nerf_tpu.train.loop import load_scene
+    from depth_lidar_nerf_tpu.train.state import build_models, init_vgg_params
+
+    cfg = _tiny_cfg(scene_dir_big, tmp_path, feature_loss=True,
+                    feature_loss_type="lpips", nH=32, nW=32, gradH=4, gradW=4)
+    scene = load_scene(cfg)
+    rcfg = render_config_from(cfg, 0, scene.near, scene.far)
+    models = build_models(cfg, rcfg)
+    lp = init_vgg_params(cfg, models, jax.random.key(1))
+    p = lp["params"]
+    conv1 = np.asarray(p["backbone"]["conv1"]["kernel"])
+    assert (conv1 < 0).any(), "backbone conv signs must be preserved"
+    for name, tree in p.items():
+        if name.startswith("lin_"):
+            assert (np.asarray(tree["kernel"]) >= 0).all(), name
+
+
 def test_sample_patch_in_jit(scene_dir_big, tmp_path):
     """In-jit patch sampling (step.sample_patch) must draw a valid crop:
     gt equals the image slice at the drawn origin, perm is a permutation,
