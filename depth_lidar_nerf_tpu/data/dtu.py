@@ -24,7 +24,7 @@ def _decompose_projection(P: np.ndarray):
 
 def load_dtu_data(basedir: str):
     """Returns images [N, H, W, 3], c2w poses [N, 4, 4], hwf."""
-    import imageio.v2 as imageio
+    from depth_lidar_nerf_tpu.utils.images import imread_rgb_float
 
     cam = np.load(os.path.join(basedir, "cameras.npz"))
     imgdir = os.path.join(basedir, "image")
@@ -33,7 +33,7 @@ def load_dtu_data(basedir: str):
     files = [os.path.join(imgdir, f) for f in sorted(os.listdir(imgdir))
              if f.lower().endswith((".png", ".jpg", ".jpeg"))]
     images = np.stack(
-        [np.asarray(imageio.imread(f))[..., :3] / 255.0 for f in files]
+        [imread_rgb_float(f) for f in files]
     ).astype(np.float32)
 
     poses, focal = [], None

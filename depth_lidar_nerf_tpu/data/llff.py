@@ -34,10 +34,9 @@ def _image_files(d):
 
 
 def _imread(path) -> np.ndarray:
-    import imageio.v2 as imageio
+    from depth_lidar_nerf_tpu.utils.images import imread_rgb_float
 
-    img = imageio.imread(path)
-    return np.asarray(img)[..., :3] / 255.0
+    return imread_rgb_float(path)
 
 
 def minify(basedir: str, factor: int) -> str:

@@ -23,11 +23,11 @@ _EXT = (".png", ".jpg", ".jpeg")
 
 
 def _load_dir(d):
-    import imageio.v2 as imageio
+    from depth_lidar_nerf_tpu.utils.images import imread_rgb_float
 
     files = [os.path.join(d, f) for f in sorted(os.listdir(d))
              if f.lower().endswith(_EXT) and "depth" not in f]
-    return files, [np.asarray(imageio.imread(f))[..., :3] / 255.0 for f in files]
+    return files, [imread_rgb_float(f) for f in files]
 
 
 def evaluate_dirs(generated_dir: str, gt_dir: str, use_lpips: bool = True,

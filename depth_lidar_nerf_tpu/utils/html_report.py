@@ -42,7 +42,9 @@ class HTMLReport:
                       width: int = 256):
         """One table of images (paths relative to out_dir) with captions."""
         cells_img = "".join(
-            f'<td><a href="{p}"><img src="{p}" width="{width}"></a></td>'
+            f'<td><a href="{html.escape(p, quote=True)}">'
+            f'<img src="{html.escape(p, quote=True)}" width="{width}">'
+            f"</a></td>"
             for p in images)
         cells_lbl = "".join(f"<td>{html.escape(l)}</td>" for l in labels)
         self._sections.append(

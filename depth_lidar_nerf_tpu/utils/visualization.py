@@ -35,7 +35,8 @@ def depth_on_image(depth_points: dict, image: np.ndarray) -> np.ndarray:
     img = (np.asarray(image) * 255).astype(np.uint8).copy()
     coords = np.asarray(depth_points["coord"]).astype(int)
     depths = np.asarray(depth_points["depth"], np.float64)
-    colors = _jet((depths - depths.min()) / (depths.ptp() + 1e-12))
+    # np.ptp(): the ndarray method was removed in NumPy 2.0.
+    colors = _jet((depths - depths.min()) / (np.ptp(depths) + 1e-12))
     H, W = img.shape[:2]
     for (x, y), c in zip(coords, colors):
         if 0 <= y < H and 0 <= x < W:

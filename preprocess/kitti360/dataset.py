@@ -51,6 +51,11 @@ class Kitti360Dataset:
         self.cam_to_velo_file = os.path.join(calib, "calib_cam_to_velo.txt")
         self.cam_to_pose_file = os.path.join(calib, "calib_cam_to_pose.txt")
         self.camera = PerspectiveCamera(kitti360_path, self.sequence, cam_id)
+        # Parse-once caches: a full sequence's cam0_to_world.txt has
+        # thousands of rows and the calibration chain is frame-independent;
+        # re-parsing them per frame made preprocessing O(frames x rows).
+        self._cam0_poses: dict | None = None
+        self._velo_to_rect: np.ndarray | None = None
 
     # ------------------------------------------------------------- loaders
 
@@ -69,13 +74,13 @@ class Kitti360Dataset:
             # Raw-OXTS fallback: reconstruct the pose from the GPS/IMU
             # record when the devkit's cam0_to_world.txt is absent.
             return self.cam2world_from_oxts(frame)
-        arr = np.atleast_2d(np.loadtxt(self.cam0_to_world_file))
-        frames = arr[:, 0].astype(int)
-        poses = arr[:, 1:].reshape(-1, 4, 4)
-        idx = np.nonzero(frames == frame)[0]
-        if len(idx) == 0:
+        if self._cam0_poses is None:
+            arr = np.atleast_2d(np.loadtxt(self.cam0_to_world_file))
+            self._cam0_poses = dict(zip(
+                arr[:, 0].astype(int), arr[:, 1:].reshape(-1, 4, 4)))
+        if frame not in self._cam0_poses:
             raise KeyError(f"frame {frame} has no cam{self.cam_id}_to_world pose")
-        return poses[idx[0]]
+        return self._cam0_poses[frame]
 
     def oxts_pose(self, frame: int) -> np.ndarray:
         """IMU/GPS pose of one frame from its raw OXTS record
@@ -97,14 +102,17 @@ class Kitti360Dataset:
 
     def velo_to_rect(self) -> np.ndarray:
         """Tr(velodyne -> rectified camera): the calibration chain of
-        Kitti360Dataset_new.py:134-150."""
-        cam0_to_velo = load_calibration_rigid(self.cam_to_velo_file)
-        cam_to_pose = load_calibration_camera_to_pose(self.cam_to_pose_file)
-        key = f"image_{self.cam_id:02d}"
-        camk_to_cam0 = np.linalg.inv(cam_to_pose["image_00"]) @ cam_to_pose[key]
-        cam_to_velo = cam0_to_velo @ camk_to_cam0
-        velo_to_cam = np.linalg.inv(cam_to_velo)
-        return self.camera.R_rect @ velo_to_cam
+        Kitti360Dataset_new.py:134-150. Frame-independent, computed once."""
+        if self._velo_to_rect is None:
+            cam0_to_velo = load_calibration_rigid(self.cam_to_velo_file)
+            cam_to_pose = load_calibration_camera_to_pose(self.cam_to_pose_file)
+            key = f"image_{self.cam_id:02d}"
+            camk_to_cam0 = (np.linalg.inv(cam_to_pose["image_00"])
+                            @ cam_to_pose[key])
+            cam_to_velo = cam0_to_velo @ camk_to_cam0
+            velo_to_cam = np.linalg.inv(cam_to_velo)
+            self._velo_to_rect = self.camera.R_rect @ velo_to_cam
+        return self._velo_to_rect
 
     # ------------------------------------------------------------ pipeline
 
@@ -137,6 +145,11 @@ class Kitti360Dataset:
         yy, xx = np.nonzero(dense != 0)
         depths = dense[yy, xx]
         coords = np.stack([xx, yy], axis=-1)
+        # Percentile bounds are deliberately computed AFTER the sky stamp:
+        # the reference recomputes them from complete_depth's output
+        # (Kitti360Dataset_new.py:191-194), whose flattened array already
+        # carries SKY_DEPTH, so a frame with >0.1% sky gets hi = SKY_DEPTH
+        # there too. Parity over plausibility.
         lo, hi = np.percentile(depths, 0.1), np.percentile(depths, 99.9)
         return coords, depths, lo, hi
 

@@ -44,8 +44,14 @@ DIAMOND_KERNEL_5 = _diamond(5)
 def _top_row_mask(depth: np.ndarray) -> np.ndarray:
     """True at and below each column's first valid (>0.1) pixel — the
     vectorized form of the reference's per-column argmax loops
-    (depth_map_utils.py:206-235)."""
-    return np.cumsum(depth > 0.1, axis=0) > 0
+    (depth_map_utils.py:206-235). Reference quirk preserved: for a column
+    with NO valid pixel, ``argmax(col > 0.1)`` is 0 there, so the column
+    stays ALL-True and remains eligible for the dilation hole-fills (a
+    plain cummax would leave it all-False and never fill it)."""
+    valid = depth > 0.1
+    mask = np.cumsum(valid, axis=0) > 0
+    mask[:, ~valid.any(axis=0)] = True
+    return mask
 
 
 def _extend_to_top(depth: np.ndarray) -> np.ndarray:

@@ -277,3 +277,44 @@ def test_rotmat_qvec_roundtrip(rng_np):
         q /= np.linalg.norm(q)
         q *= np.sign(q[0] + (q[0] == 0))
         np.testing.assert_allclose(rotmat2qvec(qvec2rotmat(q)), q, atol=1e-10)
+
+
+def test_imread_rgb_float_grayscale_and_16bit(tmp_path, rng_np):
+    """The shared reader fixes the reference's imread[..., :3]/255 pattern:
+    2-D grayscale must expand to 3 channels (not have its WIDTH sliced to
+    3), and 16-bit PNGs must scale by 65535 (not 255 -> [0, 257] values).
+    8-bit RGB stays bit-identical to the reference's /255."""
+    import imageio.v2 as imageio
+
+    from depth_lidar_nerf_tpu.utils.images import imread_rgb_float
+
+    gray = rng_np.integers(0, 256, (12, 20), np.uint8)
+    imageio.imwrite(str(tmp_path / "gray.png"), gray)
+    g = imread_rgb_float(str(tmp_path / "gray.png"))
+    assert g.shape == (12, 20, 3)
+    np.testing.assert_allclose(g[..., 0], gray / 255.0)
+    np.testing.assert_array_equal(g[..., 0], g[..., 2])
+
+    deep = rng_np.integers(0, 65536, (6, 7), np.uint16)
+    imageio.imwrite(str(tmp_path / "deep.png"), deep)
+    d = imread_rgb_float(str(tmp_path / "deep.png"))
+    assert d.max() <= 1.0
+    np.testing.assert_allclose(d[..., 0], deep / 65535.0)
+
+    rgb = rng_np.integers(0, 256, (5, 4, 3), np.uint8)
+    imageio.imwrite(str(tmp_path / "rgb.png"), rgb)
+    np.testing.assert_array_equal(imread_rgb_float(str(tmp_path / "rgb.png")),
+                                  rgb / 255.0)
+
+
+def test_depth_on_image_runs_on_numpy2(rng_np):
+    """depth_on_image used ndarray.ptp(), removed in NumPy 2.0 — it must
+    scatter jet-colored depth points without crashing."""
+    from depth_lidar_nerf_tpu.utils.visualization import depth_on_image
+
+    img = rng_np.uniform(size=(16, 24, 3))
+    pts = {"coord": np.array([[3, 4], [10, 12], [23, 15]]),
+           "depth": np.array([2.0, 5.0, 9.0])}
+    out = depth_on_image(pts, img)
+    assert out.shape == (16, 24, 3) and out.dtype == np.uint8
+    assert not np.array_equal(out[4, 3], (img[4, 3] * 255).astype(np.uint8))

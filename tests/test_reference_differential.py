@@ -340,3 +340,23 @@ def test_fill_in_multiscale_matches_reference(ref_depth_utils, rng_np):
     ref = ref_depth_utils.fill_in_multiscale(d.copy(), extrapolate=True,
                                              blur_type="bilateral")
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fill_in_multiscale_empty_columns_no_extrapolate(ref_depth_utils,
+                                                         rng_np):
+    """extrapolate=False with a wide fully-empty column band: the
+    reference's argmax-based top mask keeps empty columns ALL-True, so the
+    6x dilation loop fills the band's edges from its neighbors — a cummax
+    mask would leave the whole band unfilled (different supervision
+    coverage in depth_gt.npy)."""
+    pytest.importorskip("cv2")
+    from preprocess.kitti360.depth_completion import fill_in_multiscale
+
+    d = _sparse_depth(rng_np)
+    d[:, 60:96] = 0.0  # wider than the 6x 5x5-dilation reach (~12 px)
+    ours = fill_in_multiscale(d.copy(), extrapolate=False,
+                              blur_type="gaussian")
+    ref = ref_depth_utils.fill_in_multiscale(d.copy(), extrapolate=False,
+                                             blur_type="gaussian")
+    assert (ref[:, 60:72] > 0).any()  # the band edge really gets filled
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
