@@ -69,7 +69,6 @@ def ray_sharder(mesh: Optional[Mesh]):
     """Returns fn(pytree) constraining dim-0 of every array to the ray axis."""
     if mesh is None:
         return lambda tree: tree
-    sharding = NamedSharding(mesh, P(RAY_AXIS))
 
     def constrain(tree):
         def one(x):

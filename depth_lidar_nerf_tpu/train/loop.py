@@ -294,8 +294,19 @@ def train(cfg: TrainConfig):
     fresh_opt_state = state.opt_state
     if cfg.ft_path:
         # Pin a specific checkpoint (run_nerf.py:449-450) instead of scanning
-        # the experiment dir for the latest.
-        state = restore_from_path(cfg.ft_path, state)
+        # the experiment dir for the latest. A FILE here is a reference-format
+        # torch .tar (orbax checkpoints are directories): import its weights
+        # so users can migrate trained reference runs directly.
+        if os.path.isfile(cfg.ft_path):
+            from depth_lidar_nerf_tpu.train.state import make_optimizer
+            from depth_lidar_nerf_tpu.train.torch_import import (
+                import_reference_checkpoint)
+
+            opt = None if cfg.no_reload_optimizer else make_optimizer(cfg)
+            state = import_reference_checkpoint(
+                cfg.ft_path, state, patch_hw=(cfg.nH, cfg.nW), optimizer=opt)
+        else:
+            state = restore_from_path(cfg.ft_path, state)
         start = int(state.step)
         print(f"loaded --ft_path checkpoint {cfg.ft_path} (step {start})")
     elif not cfg.no_reload:
@@ -430,7 +441,7 @@ def train(cfg: TrainConfig):
         rays_done += cfg.N_rand * k
         i += k - 1  # i = last iteration of the block for event handling
 
-        if i % cfg.i_print == 0:
+        if cfg.i_print > 0 and i % cfg.i_print == 0:
             maps = {k: np.asarray(v) for k, v in metrics.items()
                     if np.ndim(v) >= 2}
             m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
@@ -448,7 +459,7 @@ def train(cfg: TrainConfig):
             t0 = time.time()
             rays_done = 0
 
-        if i % cfg.i_weights == 0:
+        if cfg.i_weights > 0 and i % cfg.i_weights == 0:
             save_state(mgr, state, i)
 
         if cfg.i_testset > 0 and i % cfg.i_testset == 0 and len(scene.i_test) > 0:

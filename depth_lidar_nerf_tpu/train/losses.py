@@ -72,8 +72,12 @@ def sigma_loss_from_sigma(sigma: jnp.ndarray) -> jnp.ndarray:
     ``sigma [N_rays, N_samples]`` where the last sample sits at the LiDAR
     termination depth. Loss per ray: ``-exp(s_last) / (sum exp(s) + 1)``
     (``loss.py:43``) — maximized when all density mass sits at the GT depth.
+    Evaluated with a row-max shift so large sigma cannot overflow exp.
     """
-    return -jnp.exp(sigma[:, -1]) / (jnp.sum(jnp.exp(sigma), axis=1) + 1.0)
+    m = jnp.max(sigma, axis=1, keepdims=True)
+    num = jnp.exp(sigma[:, -1] - m[:, 0])
+    den = jnp.sum(jnp.exp(sigma - m), axis=1) + jnp.exp(-m[:, 0])
+    return -num / den
 
 
 def semantic_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -306,8 +306,9 @@ def load_alpha_params(cfg: TrainConfig, alpha_module: NeRFMLP):
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(path)
     # Accept either a bare param tree or a full TrainState-like dict.
-    if isinstance(restored, dict) and "params" in restored and "fine" in str(
-            restored.get("params", {})):
+    if (isinstance(restored, dict)
+            and isinstance(restored.get("params"), dict)
+            and "fine" in restored["params"]):
         tree = restored["params"]["fine"]
     elif isinstance(restored, dict) and "fine" in restored:
         tree = restored["fine"]

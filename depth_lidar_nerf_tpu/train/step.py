@@ -116,11 +116,7 @@ def _sigma_loss_term(cfg, rcfg, models, params, rays, target_depth, rng):
     if rcfg.raw_noise_std > 0:
         sigma_raw = sigma_raw + jax.random.normal(k_noise, sigma_raw.shape) * rcfg.raw_noise_std
     sigma = jax.nn.relu(sigma_raw)
-    # Stable evaluation of -exp(s_N)/(sum exp(s) + 1): shift by the row max.
-    m = jnp.max(sigma, axis=1, keepdims=True)
-    num = jnp.exp(sigma[:, -1] - m[:, 0])
-    den = jnp.sum(jnp.exp(sigma - m), axis=1) + jnp.exp(-m[:, 0])
-    return jnp.mean(-num / den)
+    return jnp.mean(losses.sigma_loss_from_sigma(sigma))
 
 
 def _assemble_patch(values_grad, values_ng, perm, n_grad, nH, nW):
@@ -176,7 +172,10 @@ def make_train_step(
     optimizer = make_optimizer(cfg)
     disc_opt = make_disc_optimizer(cfg)
     coarse_on = cfg.N_importance > 0 and not cfg.no_coarse
-    patch_B = 2 if cfg.N_importance > 0 else 1  # fine + coarse patches
+    if patch_mode and (cfg.nH > H or cfg.nW > W):
+        # The in-jit sampler (sample_patch) would clamp its dynamic_slice and
+        # silently train on crops mismatched against patch_ray_dirs.
+        raise ValueError(f"patch {cfg.nH}x{cfg.nW} larger than image {H}x{W}")
 
     def loss_fn(params, state_step, rgb_table, depth_table, patch, ng_patch,
                 vgg_params, disc_params, rng):
@@ -383,9 +382,13 @@ def make_train_step(
         return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
                                  rng=rng, tile=tile)
 
-    def disc_step(state, gt_patch, fake_patches, rng):
-        """Discriminator update on detached patches (run_nerf.py:1779-1816)."""
-        noise_std = losses.gan_noise_std_at(state.step, cfg.gan_noise_std)
+    def disc_step(state, gt_patch, fake_patches, rng, noise_step):
+        """Discriminator update on detached patches (run_nerf.py:1779-1816).
+
+        ``noise_step`` is the pre-update iteration index so G and D share the
+        same decayed noise std within one iteration, as the reference's
+        once-per-iteration schedule does (run_nerf.py:1860-1862)."""
+        noise_std = losses.gan_noise_std_at(noise_step, cfg.gan_noise_std)
         k_r, k_f, k_f0 = jax.random.split(rng, 3)
         fake = jax.lax.stop_gradient(fake_patches)
 
@@ -442,6 +445,7 @@ def make_train_step(
                 depth_table: Optional[DepthRayTable],
                 patch: Optional[PatchBatch], vgg_params, rng):
         k_ng, k_loss, k_disc = jax.random.split(rng, 3)
+        pre_update_step = state.step
         if patch_mode and isinstance(patch, PatchSource):
             # In-jit patch sampling: no per-iteration host uploads.
             patch = sample_patch(patch, jax.random.fold_in(rng, 17),
@@ -461,7 +465,7 @@ def make_train_step(
 
         if gan_on:
             state, loss_dis = disc_step(state, patch.gt_patch, rendered_patch,
-                                        k_disc)
+                                        k_disc, pre_update_step)
             metrics["loss_dis"] = loss_dis
         return state, metrics
 

@@ -141,3 +141,14 @@ def test_vgg_feature_distance_l1_l2(rng_np):
         rtol=1e-6)
     with pytest.raises(ValueError):
         losses.vgg_feature_distance(a, b, ["l1"], [1.0], "huber")
+
+
+def test_sigma_loss_large_sigma_no_overflow():
+    """sigma > 88 overflows exp(f32); the max-shifted evaluation must stay
+    finite (the training path feeds post-ReLU sigma straight in)."""
+    s = np.full((4, 12), 0.0, np.float32)
+    s[:, -1] = 500.0
+    got = np.asarray(losses.sigma_loss_from_sigma(jnp.asarray(s)))
+    assert np.isfinite(got).all()
+    # All mass at the last sample -> loss approaches its -1 infimum.
+    np.testing.assert_allclose(got, -1.0, atol=1e-4)

@@ -650,3 +650,24 @@ def test_repo_configs_parse():
     if os.path.exists(ref):
         assert (parse_config_file("configs/fern_dsnerf.txt")
                 == parse_config_file(ref))
+
+
+def test_disabled_print_and_weight_intervals(scene_dir, tmp_path):
+    """i_print=0 / i_weights=0 mean 'disabled', not ZeroDivisionError (the
+    dispatch-batching boundary logic already treats n<=0 that way)."""
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=8, i_print=0, i_weights=0)
+    state = train(cfg)
+    assert int(state.step) == 8
+
+
+def test_oversized_patch_rejected_at_build(scene_dir, tmp_path):
+    """The in-jit patch sampler would silently clamp its crop; the step
+    builder must reject patches larger than the image up front."""
+    cfg = _tiny_cfg(
+        scene_dir, tmp_path, N_iters=10, feature_loss=True,
+        feature_start_iteration=1, feature_loss_every_n=5,
+        vgg_layers=["conv1_2"], vgg_layer_weights=[1.0], vgg_loss_type="l1",
+        nH=64, nW=16, gradH=4, gradW=4,  # nH=64 > H=24
+    )
+    with pytest.raises(ValueError, match="larger than image"):
+        train(cfg)
