@@ -70,6 +70,14 @@ def _rebuild_parameter(tensor, requires_grad=False, backward_hooks=None):
     return tensor
 
 
+class _ODict(dict):
+    """collections.OrderedDict stand-in.
+
+    A dict subclass (rather than dict itself) so pickle BUILD can attach the
+    ``_metadata`` attribute torch stores on every ``model.state_dict()`` —
+    real torchvision ``.pth`` files carry it."""
+
+
 class _TorchUnpickler(pickle.Unpickler):
     """Unpickler that resolves torch rebuild fns / storage classes locally."""
 
@@ -90,7 +98,7 @@ class _TorchUnpickler(pickle.Unpickler):
         if module == "torch.serialization" and name == "_get_layout":
             return lambda *a: None
         if (module, name) == ("collections", "OrderedDict"):
-            return dict
+            return _ODict
         if module == "torch" and name in ("float32", "float64", "float16",
                                           "bfloat16", "int64", "int32",
                                           "uint8", "int8", "bool"):
