@@ -73,7 +73,7 @@ def colmap_to_poses_bounds(basedir: str) -> np.ndarray:
     w2c = np.stack(w2c)
     c2w = np.linalg.inv(w2c)[:, :3, :4]  # [N, 3, 4]
 
-    # LLFF axis convention: [-y, x, z] columns (pose_utils.py:41).
+    # LLFF axis convention: [y, x, -z] columns (pose_utils.py:41).
     poses = np.concatenate(
         [c2w[:, :, 1:2], c2w[:, :, 0:1], -c2w[:, :, 2:3], c2w[:, :, 3:4]],
         axis=2)

@@ -61,9 +61,17 @@ def load_colmap_depth(basedir: str, factor: int = 8, bd_factor: float = 0.75):
     errs = np.array([p.error for p in points.values()])
     err_mean = errs.mean()
 
+    # Iterate images in NAME order: poses_bounds.npy rows (and the training
+    # image list) are filename-sorted by our gen_poses/colmap_to_poses_bounds,
+    # while COLMAP assigns image IDs in registration order. The reference
+    # iterates id_im = 1..N (load_llff.py:381) and relies on the two orders
+    # coinciding; sorting by name holds whenever they do and stays correct
+    # when they don't.
+    order = sorted(images, key=lambda i: images[i].name)
+
     # camera-to-world per image
     poses = []
-    for i in sorted(images):
+    for i in order:
         R = images[i].qvec2rotmat()
         t = images[i].tvec.reshape(3, 1)
         w2c = np.concatenate(
@@ -75,7 +83,7 @@ def load_colmap_depth(basedir: str, factor: int = 8, bd_factor: float = 0.75):
     sc = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
 
     out = []
-    for n, i in enumerate(sorted(images)):
+    for n, i in enumerate(order):
         depth_l, coord_l, weight_l = [], [], []
         for xy, pid in zip(images[i].xys, images[i].point3D_ids):
             if pid == -1:

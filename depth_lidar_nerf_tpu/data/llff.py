@@ -40,19 +40,30 @@ def _imread(path) -> np.ndarray:
 
 
 def minify(basedir: str, factor: int) -> str:
-    """Create ``images_{factor}/`` with PIL if missing; return its path."""
+    """Create ``images_{factor}/`` with PIL if missing; return its path.
+
+    Downsampled images are written to a temp dir renamed into place on
+    completion, so a crash mid-minify cannot leave a partial
+    ``images_{factor}/`` that later loads would mistake for complete.
+    """
     imgdir = os.path.join(basedir, f"images_{factor}")
     if os.path.exists(imgdir):
         return imgdir
     from PIL import Image
 
-    os.makedirs(imgdir)
+    tmpdir = imgdir + ".tmp"
+    if os.path.exists(tmpdir):  # leftover from a previous crash
+        import shutil
+
+        shutil.rmtree(tmpdir)
+    os.makedirs(tmpdir)
     for f in _image_files(os.path.join(basedir, "images")):
         img = Image.open(f)
         w, h = img.size
         img = img.resize((w // factor, h // factor), Image.LANCZOS)
-        out = os.path.join(imgdir, os.path.splitext(os.path.basename(f))[0] + ".png")
+        out = os.path.join(tmpdir, os.path.splitext(os.path.basename(f))[0] + ".png")
         img.save(out)
+    os.rename(tmpdir, imgdir)
     return imgdir
 
 

@@ -91,12 +91,19 @@ def sample_pdf_pallas(
     *,
     det: bool = False,
     rng: jax.Array | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for :func:`ops.sampling.sample_pdf` on TPU.
 
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
+    ``interpret=True`` runs the kernel in the Pallas interpreter;
+    ``None`` (the default, and what the renderer passes) auto-selects the
+    interpreter off-TPU so ``use_pallas_sampling`` never crashes a CPU/GPU
+    host, matching the fused kernels' ``interpret_mode`` behavior.
     """
+    if interpret is None:
+        from depth_lidar_nerf_tpu.ops.fused_mlp import interpret_mode
+
+        interpret = interpret_mode() or jax.default_backend() != "tpu"
     N, B = bins.shape
     shape = (N, N_samples)
     if det:

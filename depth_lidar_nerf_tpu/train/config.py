@@ -209,11 +209,16 @@ def parse_config_file(path: str) -> dict:
     with open(path) as f:
         for line in f:
             line = line.split("#", 1)[0].strip()
-            if not line or "=" not in line:
+            if not line:
                 continue
+            if "=" not in line:
+                # A typo'd flag silently falling back to its default is the
+                # worst failure mode a config system can have.
+                raise ValueError(f"malformed config line (no '='): {line!r} "
+                                 f"in {path}")
             key, value = line.split("=", 1)
             key = key.strip()
-            if not hasattr(TrainConfig, "__dataclass_fields__") or key not in TrainConfig.__dataclass_fields__:
+            if key not in TrainConfig.__dataclass_fields__:
                 raise KeyError(f"unknown config key {key!r} in {path}")
             out[key] = _parse_scalar(key, value)
     return out

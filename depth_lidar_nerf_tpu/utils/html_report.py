@@ -57,9 +57,11 @@ class HTMLReport:
         head = "".join(f"<th>{html.escape(str(k))}</th>" for k in keys)
         body = ""
         for r in rows:
+            # Index by the header's keys (not r.values()) so heterogeneous
+            # rows keep every cell under its own column.
             cells = "".join(
                 f"<td>{html.escape(f'{v:.4f}' if isinstance(v, float) else str(v))}</td>"
-                for v in r.values())
+                for v in (r.get(k, "") for k in keys))
             body += f"<tr>{cells}</tr>"
         self._sections.append(f"<table><tr>{head}</tr>{body}</table>")
 

@@ -25,6 +25,8 @@ def imread_rgb_float(path: str) -> np.ndarray:
     img = np.asarray(imageio.imread(path))
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
+    elif img.shape[-1] == 2:  # grayscale + alpha (LA): drop alpha, expand
+        img = np.stack([img[..., 0]] * 3, axis=-1)
     img = img[..., :3]
     if np.issubdtype(img.dtype, np.floating):
         return img.astype(np.float64)

@@ -17,12 +17,23 @@
 
 namespace {
 
+// numpy's searchsorted uses the same total order as np.sort: NaN compares
+// greater than every number (so a NaN query lands at the end, and NaN
+// entries in `a` sort last). Plain IEEE comparisons would return 0 for a
+// NaN query instead. For integer T these reduce to the plain comparisons.
+template <typename T>
+bool total_lt(T a, T b) {
+  if (a != a) return false;  // NaN < anything: false
+  if (b != b) return true;   // number < NaN: true
+  return a < b;
+}
+
 template <typename T>
 int64_t bisect(const T* row, int64_t n, T v, bool right) {
   int64_t lo = 0, hi = n;
   while (lo < hi) {
     int64_t mid = (lo + hi) / 2;
-    bool go_right = right ? (row[mid] <= v) : (row[mid] < v);
+    bool go_right = right ? !total_lt(v, row[mid]) : total_lt(row[mid], v);
     if (go_right) {
       lo = mid + 1;
     } else {

@@ -66,6 +66,10 @@ def main():
 
     for k in ks:
         rates = run(k, d)
+        if not rates:
+            print(f"[RESULT] steps_per_dispatch={k or 'auto'} "
+                  "no '[TRAIN] ... rays/s' lines captured", flush=True)
+            continue
         steady = max(rates[1:]) if len(rates) > 1 else rates[-1]
         print(f"[RESULT] steps_per_dispatch={k or 'auto'} "
               f"steady rays/s {steady:,.0f} (windows: "

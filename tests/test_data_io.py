@@ -318,3 +318,26 @@ def test_depth_on_image_runs_on_numpy2(rng_np):
     out = depth_on_image(pts, img)
     assert out.shape == (16, 24, 3) and out.dtype == np.uint8
     assert not np.array_equal(out[4, 3], (img[4, 3] * 255).astype(np.uint8))
+
+
+def test_imread_rgb_float_la_png(tmp_path, rng_np):
+    """Grayscale+alpha (LA) PNGs must come back [H, W, 3], not [H, W, 2]."""
+    import imageio.v2 as imageio
+
+    from depth_lidar_nerf_tpu.utils.images import imread_rgb_float
+
+    la = rng_np.integers(0, 256, (8, 9, 2), np.uint8)
+    imageio.imwrite(str(tmp_path / "la.png"), la)
+    got = imread_rgb_float(str(tmp_path / "la.png"))
+    assert got.shape == (8, 9, 3)
+    np.testing.assert_allclose(got[..., 0], la[..., 0] / 255.0)
+    np.testing.assert_array_equal(got[..., 0], got[..., 2])
+
+
+def test_parse_config_rejects_malformed_line(tmp_path):
+    from depth_lidar_nerf_tpu.train.config import parse_config_file
+
+    p = tmp_path / "bad.txt"
+    p.write_text("N_rand = 64\nno_ndc True\n")
+    with pytest.raises(ValueError, match="no '='"):
+        parse_config_file(str(p))

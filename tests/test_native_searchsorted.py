@@ -50,3 +50,16 @@ def test_searchsorted_native_validates():
         searchsorted_native(a[0], v)
     with pytest.raises(ValueError):
         searchsorted_native(a, a, side="middle")
+
+
+def test_searchsorted_native_nan_total_order(rng_np):
+    """numpy sorts NaN after every number; the native kernel must agree for
+    NaN queries AND NaN entries in the sorted rows."""
+    a = np.sort(rng_np.standard_normal((4, 16)).astype(np.float32), -1)
+    v = np.array([[np.nan, 0.0, -10.0, np.nan]] * 4, np.float32)
+    a_nan = a.copy()
+    a_nan[:, -2:] = np.nan  # NaNs sort last, rows stay "sorted"
+    for arr in (a, a_nan):
+        for side in ("left", "right"):
+            got = searchsorted_native(arr, v, side)
+            np.testing.assert_array_equal(got, _oracle(arr, v, side))

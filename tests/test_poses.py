@@ -128,3 +128,40 @@ def test_load_colmap_depth(tmp_path, rng_np):
                                rtol=1e-5)
     np.testing.assert_allclose(d["coord"], 8.0 / 2, rtol=1e-6)  # /factor
     assert (d["weight"] > 0).all() and (d["weight"] <= 2.0 + 1e-6).all()
+
+
+def test_load_colmap_depth_name_order_not_id_order(tmp_path):
+    """poses_bounds.npy rows are filename-sorted (colmap_to_poses_bounds);
+    the depth lists must align by NAME even when COLMAP registered the
+    images in a different order (IDs 1='b.png', 2='a.png')."""
+    from depth_lidar_nerf_tpu.data.colmap_model import (
+        Camera, Image, Point3D, write_model)
+    from depth_lidar_nerf_tpu.data.depth import load_colmap_depth
+
+    q = np.array([1.0, 0, 0, 0])
+    cams = {1: Camera(1, 0, 40, 30, np.array([35.0, 20.0, 15.0]))}
+    # Two cameras at different z so a point's depth differs per image:
+    # image 'a.png' (ID 2!) sits at origin, 'b.png' (ID 1) at z=+1
+    # (tvec = -R @ center, so tz=-1 puts the center at z=+1).
+    mk = lambda i, name, tz, pid: Image(  # noqa: E731
+        i, q, np.array([0.0, 0.0, tz]), 1, name,
+        np.array([[8.0, 8.0]]), np.array([pid]))
+    images = {1: mk(1, "b.png", -1.0, 7), 2: mk(2, "a.png", 0.0, 7)}
+    pts = {7: Point3D(7, np.array([0.0, 0.0, 5.0]), np.zeros(3, np.uint8),
+                      0.5, np.array([1, 2]), np.array([0, 0]))}
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    write_model(cams, images, pts, str(sparse), ext=".bin")
+
+    pose_row = np.concatenate(
+        [np.eye(4)[:3, :4], np.array([[30.0], [40.0], [35.0]])], axis=1)
+    rows = np.concatenate([pose_row.reshape(1, -1)] * 2, axis=0)
+    np.save(tmp_path / "poses_bounds.npy",
+            np.concatenate([rows, [[2.0, 10.0], [2.0, 10.0]]], axis=1))
+
+    out = load_colmap_depth(str(tmp_path), factor=2, bd_factor=0.75)
+    sc = 1.0 / (2.0 * 0.75)
+    # out[0] must be 'a.png' (depth 5), out[1] 'b.png' (depth 5-1=4) —
+    # ID order would swap them.
+    np.testing.assert_allclose(out[0]["depth"], [5.0 * sc], rtol=1e-5)
+    np.testing.assert_allclose(out[1]["depth"], [4.0 * sc], rtol=1e-5)
