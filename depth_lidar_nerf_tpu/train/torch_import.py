@@ -1,0 +1,265 @@
+"""Import the reference's torch ``.tar`` checkpoints into a TrainState.
+
+The reference saves ``{global_step, network_fn_state_dict,
+network_fine_state_dict, optimizer_state_dict[, discriminator_state_dict,
+gan_noise_std, discriminator_optimizer_dict]}`` via ``torch.save``
+(``run_nerf.py:1872-1883``). A user migrating from the reference can hand such
+a file to ``--ft_path``: the NeRF weights (coarse + fine + semantic head), the
+global step, the GAN noise std, and — when the patch shape matches — the
+discriminator weights transfer; optimizer moments are left freshly
+initialized (the reference itself supports exactly that via
+``--no_reload_optimizer``, ``run_nerf.py:462``).
+
+Weight mapping (reference ``NeRF``, ``run_nerf_helpers.py:77-174`` ->
+:class:`models.nerf_mlp.NeRFMLP`): torch ``Linear.weight`` is ``[out, in]``,
+Flax ``Dense.kernel`` is ``[in, out]`` — transpose; names map 1:1. The
+positional-encoding channel layout matches the reference bit-for-bit
+(``ops/embedding.py``), so transplanted first-layer weights see identical
+inputs. Reading the ``.tar`` uses the torch-free zip/pickle reader
+(``utils/torch_weights.py``) — no torch needed at import time.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from depth_lidar_nerf_tpu.utils.torch_weights import load_state_dict
+
+# Flax Dense name -> reference torch module prefix.
+_NERF_NAME_MAP = {
+    "sigma": "alpha_linear",
+    "feature": "feature_linear",
+    "views_0": "views_linears.0",
+    "rgb": "rgb_linear",
+    "semantic_0": "semantic_linear.0",
+    "semantic_1": "semantic_linear.1",
+    "output": "output_linear",
+}
+
+
+def _dense_from_torch(sd: Dict[str, np.ndarray], prefix: str, template):
+    w = np.asarray(sd[f"{prefix}.weight"])  # [out, in]
+    b = np.asarray(sd[f"{prefix}.bias"])
+    kernel = w.T  # [in, out]
+    want = tuple(template["kernel"].shape)
+    if kernel.shape != want:
+        raise ValueError(
+            f"reference layer {prefix!r} has shape {kernel.shape}, model "
+            f"expects {want} — check netdepth/netwidth/multires flags match "
+            "the checkpoint's training config")
+    return {"kernel": jnp.asarray(kernel, template["kernel"].dtype),
+            "bias": jnp.asarray(b, template["bias"].dtype)}
+
+
+def convert_nerf_state_dict(variables, sd: Dict[str, np.ndarray]):
+    """Reference ``NeRF.state_dict()`` -> NeRFMLP variables (same topology)."""
+    tree = dict(variables["params"] if "params" in variables else variables)
+    out = {}
+    for name, leaf in tree.items():
+        if name.startswith("trunk_"):
+            prefix = f"pts_linears.{int(name.split('_')[1])}"
+        else:
+            prefix = _NERF_NAME_MAP.get(name)
+        if prefix is None or f"{prefix}.weight" not in sd:
+            raise KeyError(
+                f"reference state_dict is missing weights for model layer "
+                f"{name!r} (wanted {prefix!r}.weight) — keys: "
+                f"{sorted(sd)[:8]}...")
+        out[name] = _dense_from_torch(sd, prefix, leaf)
+    return {"params": out} if "params" in variables else out
+
+
+def convert_esr_discriminator(variables, sd: Dict[str, np.ndarray],
+                              patch_hw: Optional[tuple] = None):
+    """Reference ``ESRDiscriminator.state_dict()`` -> Flax ESRDiscriminator.
+
+    Conv kernels go OIHW -> HWIO. The final linear runs over a FLATTENED
+    feature map whose memory order differs (torch flattens NCHW -> (c, h, w);
+    we flatten NHWC -> (h, w, c)), so its weight is permuted accordingly;
+    ``patch_hw`` is the (nH, nW) train patch, giving the 4x-downsampled
+    (h, w) the reference baked into ``classifier.0`` (discriminator.py:25-49).
+    """
+    tree = dict(variables["params"] if "params" in variables else variables)
+    # reference model.{idx} conv indices in forward order: 0, 2, 4, 6.
+    conv_map = {"block0_conv0": "model.0", "block0_conv1": "model.2",
+                "block1_conv0": "model.4", "block1_conv1": "model.6"}
+    out = {}
+    for name, leaf in tree.items():
+        if name in conv_map:
+            w = np.asarray(sd[f"{conv_map[name]}.weight"])  # [O, I, 3, 3]
+            out[name] = {
+                "kernel": jnp.asarray(w.transpose(2, 3, 1, 0),
+                                      leaf["kernel"].dtype),
+                "bias": jnp.asarray(np.asarray(sd[f"{conv_map[name]}.bias"]),
+                                    leaf["bias"].dtype),
+            }
+        elif name == "classifier":
+            w = np.asarray(sd["classifier.0.weight"])  # [1, C*h*w]
+            want = tuple(leaf["kernel"].shape)  # [h*w*C, 1]
+            if w.size != want[0]:
+                raise ValueError(
+                    f"discriminator classifier expects {want[0]} inputs, "
+                    f"checkpoint has {w.size} — patch nH/nW differ from the "
+                    "reference run's")
+            if patch_hw is None:
+                raise ValueError("patch_hw (nH, nW) is required to permute "
+                                 "the classifier weight's flatten order")
+            h, w_ = patch_hw[0] // 4, patch_hw[1] // 4
+            c = w.size // (h * w_)
+            kernel = w.reshape(1, c, h, w_).transpose(0, 2, 3, 1).reshape(1, -1).T
+            out[name] = {
+                "kernel": jnp.asarray(kernel, leaf["kernel"].dtype),
+                "bias": jnp.asarray(np.asarray(sd["classifier.0.bias"]),
+                                    leaf["bias"].dtype),
+            }
+        else:
+            raise KeyError(f"unexpected discriminator layer {name!r}")
+    return {"params": out} if "params" in variables else out
+
+
+def _torch_param_names(sd: Dict[str, np.ndarray]):
+    """Reference ``NeRF.parameters()`` order, reconstructed from a state_dict.
+
+    torch yields parameters in attribute-registration order
+    (``run_nerf_helpers.py:90-110``): pts_linears, views_linears,
+    feature_linear, alpha_linear, rgb_linear[, semantic_linear.{0,1}] (or
+    output_linear when viewdirs are off), each Linear giving weight then bias.
+    """
+    names = []
+    d = 0
+    while f"pts_linears.{d}.weight" in sd:
+        names += [f"pts_linears.{d}.weight", f"pts_linears.{d}.bias"]
+        d += 1
+    for prefix in ("views_linears.0", "feature_linear", "alpha_linear",
+                   "rgb_linear", "output_linear", "semantic_linear.0",
+                   "semantic_linear.1"):
+        if f"{prefix}.weight" in sd:
+            names += [f"{prefix}.weight", f"{prefix}.bias"]
+    return names
+
+
+def _moments_for_model(variables, sd, opt_sd, index_of: Dict[int, int],
+                       base: int):
+    """(mu, nu) trees shaped like ``variables`` from torch Adam exp_avg(_sq).
+
+    ``index_of`` maps grad_vars position -> key in ``opt_sd['state']``;
+    ``base`` is this model's offset in grad_vars (fine params follow coarse,
+    ``run_nerf.py:434-436``).
+    """
+    names = _torch_param_names(sd)
+    pos = {n: base + i for i, n in enumerate(names)}
+    tree = variables["params"] if "params" in variables else variables
+
+    def grab(prefix, which, template, transpose):
+        st = opt_sd["state"][index_of[pos[f"{prefix}.{which}"]]]
+        mu = np.asarray(st["exp_avg"])
+        nu = np.asarray(st["exp_avg_sq"])
+        if transpose:
+            mu, nu = mu.T, nu.T
+        dt = template.dtype
+        return jnp.asarray(mu, dt), jnp.asarray(nu, dt)
+
+    mu_t, nu_t = {}, {}
+    for name, leaf in tree.items():
+        prefix = (f"pts_linears.{int(name.split('_')[1])}"
+                  if name.startswith("trunk_") else _NERF_NAME_MAP[name])
+        km, kn = grab(prefix, "weight", leaf["kernel"], True)
+        bm, bn = grab(prefix, "bias", leaf["bias"], False)
+        mu_t[name] = {"kernel": km, "bias": bm}
+        nu_t[name] = {"kernel": kn, "bias": bn}
+    if "params" in variables:
+        return {"params": mu_t}, {"params": nu_t}
+    return mu_t, nu_t
+
+
+def import_adam_state(optimizer, params, ckpt: Dict, step: int):
+    """Rebuild the optax Adam state from the reference's
+    ``optimizer_state_dict`` so training continues with the exact moments.
+
+    The reference optimizes ``list(coarse.parameters()) +
+    list(fine.parameters())`` with one Adam (``run_nerf.py:434-441``); optax
+    ``adam`` is ``scale_by_adam`` + a schedule step counter. Moments map
+    name-for-name (weights transposed like the params); both counters take
+    the checkpoint's global step (torch stores the same count per param).
+    Returns ``None`` when the checkpoint has no usable Adam state.
+    """
+    opt_sd = ckpt.get("optimizer_state_dict") or {}
+    if not opt_sd.get("state"):
+        return None
+    group = opt_sd["param_groups"][0]["params"]
+    index_of = dict(enumerate(group))  # grad_vars position -> state key
+
+    coarse_sd = ckpt["network_fn_state_dict"]
+    mu, nu = _moments_for_model(params["coarse"], coarse_sd, opt_sd,
+                                index_of, 0)
+    mu, nu = {"coarse": mu}, {"coarse": nu}
+    if "fine" in params:
+        fine_sd = ckpt["network_fine_state_dict"]
+        base = len(_torch_param_names(coarse_sd))
+        mu_f, nu_f = _moments_for_model(params["fine"], fine_sd, opt_sd,
+                                        index_of, base)
+        mu["fine"], nu["fine"] = mu_f, nu_f
+
+    count = jnp.asarray(step, jnp.int32)
+    fresh = optimizer.init(params)
+    out = []
+    for s in fresh:
+        if hasattr(s, "mu") and hasattr(s, "nu"):
+            s = s._replace(count=count, mu=mu, nu=nu)
+        elif hasattr(s, "count"):
+            s = s._replace(count=count)
+        out.append(s)
+    return tuple(out)
+
+
+def import_reference_checkpoint(path: str, state, *,
+                                patch_hw: Optional[tuple] = None,
+                                optimizer=None,
+                                verbose: bool = True):
+    """Load a reference ``.tar`` checkpoint file into ``state`` (a TrainState).
+
+    Returns the updated state. Transfers: coarse params
+    (``network_fn_state_dict``), fine params (``network_fine_state_dict``,
+    when the state has a fine model), step (``global_step``), GAN noise std,
+    and — if both sides have one and ``patch_hw`` is given — the
+    discriminator. Optimizer moments stay fresh.
+    """
+    ckpt = load_state_dict(path)
+    params = dict(state.params)
+    params["coarse"] = convert_nerf_state_dict(
+        state.params["coarse"], ckpt["network_fn_state_dict"])
+    if "fine" in params:
+        fine_sd = ckpt.get("network_fine_state_dict")
+        if fine_sd is None:
+            raise KeyError("model has a fine network but the checkpoint has "
+                           "no network_fine_state_dict")
+        params["fine"] = convert_nerf_state_dict(state.params["fine"], fine_sd)
+    updates = {"params": params}
+
+    disc_sd = ckpt.get("discriminator_state_dict")
+    if disc_sd is not None and getattr(state, "disc_params", None) is not None:
+        try:
+            updates["disc_params"] = convert_esr_discriminator(
+                state.disc_params, disc_sd, patch_hw)
+        except (KeyError, ValueError) as e:
+            if verbose:
+                print(f"discriminator not imported ({e}); keeping fresh init")
+
+    step = int(np.asarray(ckpt.get("global_step", 0)))
+    if optimizer is not None:
+        try:
+            opt_state = import_adam_state(optimizer, params, ckpt, step)
+            if opt_state is not None:
+                updates["opt_state"] = opt_state
+        except (KeyError, ValueError, IndexError) as e:
+            if verbose:
+                print(f"optimizer moments not imported ({e}); keeping fresh "
+                      "init (--no_reload_optimizer semantics)")
+    new_state = state.replace(step=jnp.asarray(step, jnp.int32), **updates)
+    if verbose:
+        moved = ", ".join(sorted(updates))
+        print(f"imported reference checkpoint {path} (step {step}; {moved})")
+    return new_state
