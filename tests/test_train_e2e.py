@@ -671,3 +671,13 @@ def test_oversized_patch_rejected_at_build(scene_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="larger than image"):
         train(cfg)
+
+
+def test_flags_doc_covers_every_field():
+    """docs/FLAGS.md must document every TrainConfig field by name."""
+    import dataclasses
+
+    doc = open("docs/FLAGS.md").read()
+    missing = [f.name for f in dataclasses.fields(TrainConfig)
+               if f"`{f.name}`" not in doc]
+    assert not missing, f"undocumented flags: {missing}"
