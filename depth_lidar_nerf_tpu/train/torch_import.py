@@ -215,6 +215,52 @@ def import_adam_state(optimizer, params, ckpt: Dict, step: int):
     return tuple(out)
 
 
+def _nerf_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
+    """NeRFMLP variables -> reference ``NeRF.state_dict()`` numpy arrays."""
+    tree = variables["params"] if "params" in variables else variables
+    out = {}
+    for name, leaf in tree.items():
+        prefix = (f"pts_linears.{int(name.split('_')[1])}"
+                  if name.startswith("trunk_") else _NERF_NAME_MAP[name])
+        out[f"{prefix}.weight"] = np.asarray(leaf["kernel"]).T.copy()
+        out[f"{prefix}.bias"] = np.asarray(leaf["bias"]).copy()
+    return out
+
+
+def export_reference_checkpoint(state, path: str, *,
+                                verbose: bool = True) -> str:
+    """Write ``state`` as a reference-format torch ``.tar`` checkpoint.
+
+    The inverse of :func:`import_reference_checkpoint`: coarse/fine NeRF
+    weights land under ``network_fn_state_dict`` / ``network_fine_state_dict``
+    with the reference's key names and ``[out, in]`` Linear layout, plus
+    ``global_step`` — loadable by the reference's own
+    ``model.load_state_dict(ckpt[...])`` resume path (``run_nerf.py:458-477``,
+    dict-intersection partial load). Writing the torch zip format requires a
+    working ``import torch`` (CPU wheel suffices); importing does not.
+    """
+    import torch  # writing torch's zip format needs torch itself
+
+    ckpt = {
+        "global_step": int(np.asarray(state.step)),
+        "network_fn_state_dict": {
+            k: torch.from_numpy(v)
+            for k, v in _nerf_to_torch_state_dict(
+                state.params["coarse"]).items()},
+        "optimizer_state_dict": {},
+    }
+    if "fine" in state.params:
+        ckpt["network_fine_state_dict"] = {
+            k: torch.from_numpy(v)
+            for k, v in _nerf_to_torch_state_dict(
+                state.params["fine"]).items()}
+    torch.save(ckpt, path)
+    if verbose:
+        print(f"exported reference-format checkpoint to {path} "
+              f"(step {ckpt['global_step']})")
+    return path
+
+
 def import_reference_checkpoint(path: str, state, *,
                                 patch_hw: Optional[tuple] = None,
                                 optimizer=None,

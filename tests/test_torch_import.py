@@ -225,3 +225,53 @@ def test_import_adam_moments_match_torch(tmp_path):
     np.testing.assert_allclose(
         np.asarray(adam.mu["fine"]["params"]["sigma"]["kernel"]),
         t_state[12 + 8]["exp_avg"].numpy().T, rtol=1e-6)
+
+
+def test_export_roundtrip_and_torch_loadable(tmp_path):
+    """export_reference_checkpoint must produce a .tar the reference's own
+    resume path can consume (torch load_state_dict on the key names) and
+    that round-trips through import_reference_checkpoint bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.models.nerf_mlp import NeRFMLP
+    from depth_lidar_nerf_tpu.train.torch_import import (
+        export_reference_checkpoint, import_reference_checkpoint)
+
+    W, IC, ICV = 48, 15, 9
+    mk = lambda: NeRFMLP(depth=3, width=W, in_channels=IC,  # noqa: E731
+                         in_channels_views=ICV, skips=(1,))
+    pe, ve = jnp.zeros((1, IC)), jnp.zeros((1, ICV))
+    params = {"coarse": mk().init(jax.random.key(0), pe, ve),
+              "fine": mk().init(jax.random.key(1), pe, ve)}
+
+    class S:
+        step = jnp.int32(77)
+        disc_params = None
+
+        def replace(self, **kw):
+            for k, v in kw.items():
+                setattr(self, k, v)
+            return self
+
+    s = S()
+    s.params = params
+    tar = str(tmp_path / "000077.tar")
+    export_reference_checkpoint(s, tar)
+
+    # The reference's torch model must load it strictly (all keys match).
+    tm = _TorchNeRF(3, W, IC, ICV, (1,), 0)
+    ckpt = torch.load(tar, map_location="cpu", weights_only=True)
+    assert ckpt["global_step"] == 77
+    tm.load_state_dict(ckpt["network_fn_state_dict"], strict=True)
+    tm.load_state_dict(ckpt["network_fine_state_dict"], strict=True)
+
+    # Round trip back into a fresh state: params identical bit-for-bit.
+    s2 = S()
+    s2.params = {"coarse": mk().init(jax.random.key(5), pe, ve),
+                 "fine": mk().init(jax.random.key(6), pe, ve)}
+    s2 = import_reference_checkpoint(tar, s2)
+    assert int(s2.step) == 77
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
