@@ -113,3 +113,15 @@ def gen_poses(basedir: str, match_type: str = "exhaustive_matcher") -> bool:
         run_colmap(basedir, match_type)
     colmap_to_poses_bounds(basedir)
     return True
+
+
+if __name__ == "__main__":  # imgs2poses.py:8-18 CLI equivalent
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        "imgs2poses: COLMAP sparse model -> poses_bounds.npy")
+    ap.add_argument("scenedir", help="dir with an images/ subdir")
+    ap.add_argument("--match_type", default="exhaustive_matcher",
+                    choices=["exhaustive_matcher", "sequential_matcher"])
+    ns = ap.parse_args()
+    gen_poses(ns.scenedir, ns.match_type)
