@@ -609,3 +609,72 @@ def test_acts_padding_helpers():
     assert semantic_padded_rays(1024, 128, 5, 256, jnp.float32) \
         == 1024 + (-1024) % rpt
     assert semantic_padded_rays(rpt, 128, 5, 256, jnp.float32) == rpt
+
+
+@pytest.mark.parametrize("depth,skips,mr,mrv", [
+    (5, (2,), 6, 2),
+    (6, (1, 4), 10, 4),   # two live skips
+    (7, (3,), 8, 3),
+    (2, (), 4, 2),
+])
+def test_fused_v4_topology_sweep(depth, skips, mr, mrv):
+    """Corner-topology sweep for the v4 rays kernel: odd depths, multiple
+    live skips, non-default encodings — forward + grads vs Flax on both
+    the recompute and saved-acts backwards. Guards the layer-loop
+    generalizations (this round's LCM-padding bug hid at exactly such an
+    untested D=5/6 corner)."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import fused_nerf_apply_rays
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup(
+        depth=depth, width=64, mr=mr, mrv=mrv)
+    if skips != (4,):
+        from depth_lidar_nerf_tpu.models import NeRFMLP
+        from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+
+        model = NeRFMLP(depth=depth, width=64, in_channels=3 + 6 * mr,
+                        in_channels_views=3 + 6 * mrv, skips=skips,
+                        dtype=jnp.float32)
+        params = model.init(jax.random.key(1), pe[:1, :1], veb[:1, :1])
+    kw = dict(depth=depth, width=64, multires=mr, multires_views=mrv,
+              dtype=jnp.float32, skips=skips)
+    ref = np.asarray(model.apply(params, pe, veb))
+    got = np.asarray(fused_nerf_apply_rays(params, ro, rd, vd, z, **kw))
+    np.testing.assert_allclose(got.transpose(1, 2, 0), ref, rtol=1e-4,
+                               atol=1e-4)
+    for extra in (dict(), dict(save_acts=True)):
+        _grad_compare(
+            lambda p: jnp.mean(jnp.sin(model.apply(p, pe, veb)) ** 2),
+            lambda p: jnp.mean(jnp.sin(
+                fused_nerf_apply_rays(p, ro, rd, vd, z, **kw, **extra)) ** 2),
+            params, tol=1e-3)
+
+
+@pytest.mark.parametrize("depth,skips", [(5, (2,)), (6, (1, 4))])
+def test_fused_semantic_topology_sweep(depth, skips):
+    """Same corner sweep for the semantic acts kernels."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        fused_nerf_apply_rays_semantic)
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem(
+        depth=depth, skips=skips)
+    kw = dict(depth=depth, width=64, multires=10, multires_views=4,
+              dtype=jnp.float32, skips=skips)
+    ref = np.asarray(model.apply(params, pe, veb))
+    raw, sem = fused_nerf_apply_rays_semantic(params, ro, rd, vd, z, **kw)
+    np.testing.assert_allclose(np.asarray(raw).transpose(1, 2, 0),
+                               ref[..., :4], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sem), ref[..., 4:].astype(np.float64).sum(axis=1),
+        rtol=1e-4, atol=1e-3)
+
+    def loss_ref(p):
+        out = model.apply(p, pe, veb)
+        return (jnp.mean(jnp.sin(out[..., :4]) ** 2)
+                + jnp.mean(jnp.sum(out[..., 4:], axis=1) ** 2))
+
+    def loss_fused(p):
+        raw, s = fused_nerf_apply_rays_semantic(p, ro, rd, vd, z, **kw)
+        return (jnp.mean(jnp.sin(raw.transpose(1, 2, 0)) ** 2)
+                + jnp.mean(s ** 2))
+
+    _grad_compare(loss_ref, loss_fused, params, tol=1e-3)
