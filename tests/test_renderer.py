@@ -115,3 +115,23 @@ def test_sample_sigma_and_render_test_ray():
     assert ((np.asarray(rgb) >= 0) & (np.asarray(rgb) <= 1)).all()
     np.testing.assert_allclose(np.asarray(z_vals[:, 0]), 2.0, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(z_vals[:, -1]), 6.0, rtol=1e-5)
+
+
+def test_render_rays_with_pallas_sampling_matches_default():
+    """use_pallas_sampling through the real renderer dispatch: off-TPU the
+    kernel auto-selects interpret mode (it must not crash a CPU host), and
+    the deterministic fine-resample path must match the jnp formulation."""
+    import dataclasses
+
+    cfg, model, fine, params = _setup()
+    rays = _rand_rays(cfg, n=8)
+    ecfg = cfg.eval_mode()
+    base = render_rays(model, fine, params, rays, ecfg, rng=None)
+    pcfg = dataclasses.replace(ecfg, use_pallas_sampling=True)
+    got = render_rays(model, fine, params, rays, pcfg, rng=None)
+    np.testing.assert_allclose(np.asarray(got["rgb_map"]),
+                               np.asarray(base["rgb_map"]), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["depth_map"]),
+                               np.asarray(base["depth_map"]), rtol=1e-5,
+                               atol=1e-5)
