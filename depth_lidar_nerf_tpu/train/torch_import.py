@@ -72,20 +72,33 @@ def convert_nerf_state_dict(variables, sd: Dict[str, np.ndarray]):
     return {"params": out} if "params" in variables else out
 
 
-def convert_esr_discriminator(variables, sd: Dict[str, np.ndarray],
-                              patch_hw: Optional[tuple] = None):
-    """Reference ``ESRDiscriminator.state_dict()`` -> Flax ESRDiscriminator.
+# Flax module name -> (torch key prefix) per discriminator arch, plus the
+# final-linear (flax_name, torch_prefix, downsample_factor) — the linear
+# consumes a FLATTENED feature map whose memory order differs (torch
+# flattens NCHW -> (c, h, w); we flatten NHWC -> (h, w, c)).
+_DISC_LAYOUTS = {
+    "esr": ({"block0_conv0": "model.0", "block0_conv1": "model.2",
+             "block1_conv0": "model.4", "block1_conv1": "model.6"},
+            ("classifier", "classifier.0", 4)),
+    "ls": ({f"block{i}_conv": f"model.{2 * i}" for i in range(4)},
+           ("adv", "adv_layer", 16)),
+    "basic": ({"conv": "model.0"}, ("adv", "adv_layer", 2)),
+}
 
-    Conv kernels go OIHW -> HWIO. The final linear runs over a FLATTENED
-    feature map whose memory order differs (torch flattens NCHW -> (c, h, w);
-    we flatten NHWC -> (h, w, c)), so its weight is permuted accordingly;
-    ``patch_hw`` is the (nH, nW) train patch, giving the 4x-downsampled
-    (h, w) the reference baked into ``classifier.0`` (discriminator.py:25-49).
+
+def convert_discriminator(variables, sd: Dict[str, np.ndarray],
+                          patch_hw: Optional[tuple] = None,
+                          arch: str = "esr"):
+    """Reference discriminator state_dict -> the matching Flax module.
+
+    ``arch``: "esr" (``discriminator.py:19-61``, what the train loop
+    instantiates), "ls" (``:64-91``) or "basic" (``:93-117``). Conv kernels
+    go OIHW -> HWIO; the final linear's weight is permuted for the flatten
+    order; ``patch_hw`` is the (nH, nW) train patch the reference baked into
+    that linear's input size.
     """
+    conv_map, (lin_name, lin_key, ds) = _DISC_LAYOUTS[arch]
     tree = dict(variables["params"] if "params" in variables else variables)
-    # reference model.{idx} conv indices in forward order: 0, 2, 4, 6.
-    conv_map = {"block0_conv0": "model.0", "block0_conv1": "model.2",
-                "block1_conv0": "model.4", "block1_conv1": "model.6"}
     out = {}
     for name, leaf in tree.items():
         if name in conv_map:
@@ -96,28 +109,35 @@ def convert_esr_discriminator(variables, sd: Dict[str, np.ndarray],
                 "bias": jnp.asarray(np.asarray(sd[f"{conv_map[name]}.bias"]),
                                     leaf["bias"].dtype),
             }
-        elif name == "classifier":
-            w = np.asarray(sd["classifier.0.weight"])  # [1, C*h*w]
+        elif name == lin_name:
+            w = np.asarray(sd[f"{lin_key}.weight"])  # [1, C*h*w]
             want = tuple(leaf["kernel"].shape)  # [h*w*C, 1]
             if w.size != want[0]:
                 raise ValueError(
-                    f"discriminator classifier expects {want[0]} inputs, "
+                    f"discriminator {lin_name} expects {want[0]} inputs, "
                     f"checkpoint has {w.size} — patch nH/nW differ from the "
                     "reference run's")
             if patch_hw is None:
                 raise ValueError("patch_hw (nH, nW) is required to permute "
-                                 "the classifier weight's flatten order")
-            h, w_ = patch_hw[0] // 4, patch_hw[1] // 4
+                                 "the linear weight's flatten order")
+            h, w_ = patch_hw[0] // ds, patch_hw[1] // ds
             c = w.size // (h * w_)
             kernel = w.reshape(1, c, h, w_).transpose(0, 2, 3, 1).reshape(1, -1).T
             out[name] = {
                 "kernel": jnp.asarray(kernel, leaf["kernel"].dtype),
-                "bias": jnp.asarray(np.asarray(sd["classifier.0.bias"]),
+                "bias": jnp.asarray(np.asarray(sd[f"{lin_key}.bias"]),
                                     leaf["bias"].dtype),
             }
         else:
             raise KeyError(f"unexpected discriminator layer {name!r}")
     return {"params": out} if "params" in variables else out
+
+
+def convert_esr_discriminator(variables, sd: Dict[str, np.ndarray],
+                              patch_hw: Optional[tuple] = None):
+    """ESR layout of :func:`convert_discriminator` (the checkpoint-import
+    path: the reference train loop instantiates ESR, run_nerf.py:1253)."""
+    return convert_discriminator(variables, sd, patch_hw, arch="esr")
 
 
 def _torch_param_names(sd: Dict[str, np.ndarray]):

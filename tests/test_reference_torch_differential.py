@@ -240,3 +240,52 @@ def test_ssim_matches_reference(ref_loss, rng_np):
                             jnp.asarray(b.transpose(0, 2, 3, 1)),
                             window_size=11))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_disc():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_disc", os.path.join(REF, "discriminator.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("arch,nh,nw", [("esr", 16, 24), ("ls", 32, 32),
+                                        ("basic", 12, 16)])
+def test_discriminators_match_reference(ref_disc, rng_np, arch, nh, nw):
+    """All three discriminator variants against the reference's OWN classes
+    (discriminator.py:19-117), weights converted through
+    convert_discriminator — pins conv padding/stride, LeakyReLU slope, and
+    the NCHW->NHWC flatten permutation of the final linear."""
+    import jax
+
+    from depth_lidar_nerf_tpu.models.discriminator import (
+        BasicDiscriminator, ESRDiscriminator, LSDiscriminator)
+    from depth_lidar_nerf_tpu.train.torch_import import convert_discriminator
+
+    cls = {"esr": ref_disc.ESRDiscriminator, "ls": ref_disc.LSDiscriminator,
+           "basic": ref_disc.BasicDiscriminator}[arch]
+    ours = {"esr": ESRDiscriminator, "ls": LSDiscriminator,
+            "basic": BasicDiscriminator}[arch]()
+
+    tm = cls(input_shape=(3, nh, nw))
+    torch.manual_seed(7)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    tm.eval()
+
+    x = rng_np.normal(size=(2, nh, nw, 3)).astype(np.float32)
+    variables = ours.init(jax.random.key(0), jnp.asarray(x))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_discriminator(variables, sd, patch_hw=(nh, nw),
+                                      arch=arch)
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        # the reference's .view needs a contiguous NCHW tensor
+        xin = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        want = tm(xin).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
