@@ -44,24 +44,34 @@ def ssim_np(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> float:
-    """Gaussian-window SSIM over HWC images (eval_utils.py:38-118 semantics)."""
+    """Gaussian-window SSIM over HWC images (eval_utils.py:38-118 semantics).
+
+    Matches the reference's offline eval exactly (differentially tested
+    against its own code): ``mode="same"`` convolution — border pixels count
+    toward the mean — and the filter shrinks (sigma rescaled) when the image
+    is smaller than ``filter_size``. The paper's Table 1 SSIM numbers were
+    computed with these semantics, so parity comparisons must use them.
+    """
     img1 = np.asarray(img1, np.float64)
     img2 = np.asarray(img2, np.float64)
     if img1.ndim == 2:
         img1, img2 = img1[..., None], img2[..., None]
 
-    window = _fspecial_gauss(filter_size, filter_sigma)
+    h, w = img1.shape[:2]
+    size = min(filter_size, h, w)
+    sigma = size * filter_sigma / filter_size if filter_size else 0.0
+    window = _fspecial_gauss(size, sigma)
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
 
     vals = []
     for c in range(img1.shape[-1]):
         a, b = img1[..., c], img2[..., c]
-        mu1 = signal.fftconvolve(a, window, mode="valid")
-        mu2 = signal.fftconvolve(b, window, mode="valid")
-        s11 = signal.fftconvolve(a * a, window, mode="valid") - mu1**2
-        s22 = signal.fftconvolve(b * b, window, mode="valid") - mu2**2
-        s12 = signal.fftconvolve(a * b, window, mode="valid") - mu1 * mu2
+        mu1 = signal.fftconvolve(a, window, mode="same")
+        mu2 = signal.fftconvolve(b, window, mode="same")
+        s11 = signal.fftconvolve(a * a, window, mode="same") - mu1**2
+        s22 = signal.fftconvolve(b * b, window, mode="same") - mu2**2
+        s12 = signal.fftconvolve(a * b, window, mode="same") - mu1 * mu2
         ssim_map = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
             (mu1**2 + mu2**2 + c1) * (s11 + s22 + c2)
         )

@@ -289,3 +289,52 @@ def test_discriminators_match_reference(ref_disc, rng_np, arch, nh, nw):
         xin = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
         want = tm(xin).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    """The reference eval_utils.py (numpy/scipy ssim; tf stubbed — only
+    load_lpips touches it)."""
+    import importlib.util
+
+    stubs = {}
+    for name in ("tensorflow", "tensorflow.compat", "tensorflow.compat.v1"):
+        if name not in sys.modules:
+            stubs[name] = types.ModuleType(name)
+    stubs.get("tensorflow", sys.modules.get("tensorflow")).compat = \
+        stubs.get("tensorflow.compat")
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_eval", os.path.join(REF, "eval_utils.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+
+def test_eval_ssim_matches_reference(ref_eval, rng_np):
+    """The offline-eval SSIM (evaluation/metrics.ssim_np) against the
+    reference's eval_utils.ssim (the fspecial numpy implementation the
+    paper's Table 1 numbers were computed with)."""
+    from depth_lidar_nerf_tpu.evaluation.metrics import ssim_np
+
+    a = rng_np.uniform(0, 1, (24, 30, 3)).astype(np.float64)
+    b = np.clip(a + rng_np.normal(size=a.shape) * 0.06, 0, 1)
+    want = ref_eval.ssim(a[None] * 255.0, b[None] * 255.0, max_val=255)
+    got = ssim_np(a, b, max_val=1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_eval_ssim_small_image_filter_reduction(ref_eval, rng_np):
+    """Images smaller than the 11-tap window: the reference shrinks the
+    filter and rescales sigma (eval_utils.py:80-86); ours must too."""
+    from depth_lidar_nerf_tpu.evaluation.metrics import ssim_np
+
+    a = rng_np.uniform(0, 1, (7, 9, 3)).astype(np.float64)
+    b = np.clip(a + rng_np.normal(size=a.shape) * 0.1, 0, 1)
+    want = ref_eval.ssim(a[None] * 255.0, b[None] * 255.0, max_val=255)
+    got = ssim_np(a, b, max_val=1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
