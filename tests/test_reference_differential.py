@@ -380,3 +380,78 @@ def test_generate_renderpath_matches_reference(rng_np):
     got = generate_render_path(poses, focal=42.0, N_views=20, N_rots=2,
                                zrate=0.5)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_colmap_to_poses_bounds_matches_reference(tmp_path, rng_np):
+    """The imgs2poses output writer (colmap_to_poses_bounds) vs the
+    reference's own pose_utils.load_colmap_data + save_poses on a shared
+    synthetic sparse model — pins the axis permutation, the name-sort
+    `perm`, the visibility-filtered depth percentiles (.5/99.5), and the
+    hwf column."""
+    import importlib.util
+
+    from depth_lidar_nerf_tpu.data.colmap_model import (
+        Camera, Image, Point3D, write_model)
+    from depth_lidar_nerf_tpu.data.colmap_pipeline import (
+        colmap_to_poses_bounds)
+
+    # synthetic sparse model: 3 images (IDs 1..3, shuffled names so the
+    # name-sort perm is non-trivial), 40 points with varied visibility
+    q = np.array([1.0, 0, 0, 0])
+    names = ["c.png", "a.png", "b.png"]
+    imgs = {}
+    pts_vis = {i: [] for i in (1, 2, 3)}
+    pts = {}
+    for pid in range(1, 41):
+        xyz = rng_np.normal(size=3) * 2 + np.array([0, 0, 6.0])
+        vis = [i for i in (1, 2, 3) if rng_np.uniform() < 0.8] or [1]
+        pts[pid] = Point3D(pid, xyz, np.zeros(3, np.uint8),
+                           float(rng_np.uniform(0.2, 2.0)),
+                           np.array(vis), np.zeros(len(vis), int))
+        for i in vis:
+            pts_vis[i].append(pid)
+    for i in (1, 2, 3):
+        rot, _ = np.linalg.qr(rng_np.normal(size=(3, 3)))
+        if np.linalg.det(rot) < 0:
+            rot[:, 0] *= -1
+        # qvec for the reference reader; our writer stores qvec directly
+        from depth_lidar_nerf_tpu.data.colmap_model import rotmat2qvec
+
+        imgs[i] = Image(i, rotmat2qvec(rot), rng_np.normal(size=3), 1,
+                        names[i - 1], np.zeros((0, 2)), np.zeros(0, int))
+    cams = {1: Camera(1, 0, 64, 48, np.array([55.0, 32.0, 24.0]))}
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    write_model(cams, imgs, pts, str(sparse), ext=".bin")
+
+    # reference pose_utils with its unused heavy deps stubbed
+    stubs = {}
+    for name in ("imageio", "skimage", "skimage.transform", "llff",
+                 "llff.poses", "llff.poses.colmap_wrapper"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            if name.endswith("colmap_wrapper"):
+                m.run_colmap = lambda *a, **k: None
+            stubs[name] = m
+    crm_spec = importlib.util.spec_from_file_location(
+        "llff.poses.colmap_read_model",
+        os.path.join(REF, "llff", "poses", "colmap_read_model.py"))
+    crm = importlib.util.module_from_spec(crm_spec)
+    stubs["llff.poses.colmap_read_model"] = crm
+    sys.modules.update(stubs)
+    try:
+        crm_spec.loader.exec_module(crm)
+        spec = importlib.util.spec_from_file_location(
+            "ref_pose_utils", os.path.join(REF, "llff", "poses",
+                                           "pose_utils.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        poses, pts3d, perm = mod.load_colmap_data(str(tmp_path))
+        mod.save_poses(str(tmp_path), poses, pts3d, perm)
+        want = np.load(tmp_path / "poses_bounds.npy")
+    finally:
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+    got = colmap_to_poses_bounds(str(tmp_path))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
