@@ -55,12 +55,18 @@ def kitti_root(tmp_path_factory):
             f.write(mat_line(f"R_rect_{cam}", np.eye(3)) + "\n")
             f.write(f"S_rect_{cam}: {W_IMG} {H_IMG}\n")
 
-    # Poses: identity cam0_to_world at frame 7.
+    # Poses: identity cam0_to_world at frame 7, a translated frame 8 (two
+    # lines so the reference's bare np.loadtxt stays 2-D).
     pose44 = np.eye(4)
+    pose44_b = np.eye(4)
+    pose44_b[:3, 3] = [0.5, -0.25, 2.0]
     with open(root / "data_poses" / seq / "cam0_to_world.txt", "w") as f:
         f.write("7 " + " ".join(f"{x:.9f}" for x in pose44.ravel()) + "\n")
+        f.write("8 " + " ".join(f"{x:.9f}" for x in pose44_b.ravel()) + "\n")
     with open(root / "data_poses" / seq / "poses.txt", "w") as f:
         f.write("7 " + " ".join(f"{x:.9f}" for x in pose44[:3].ravel()) + "\n")
+        f.write("8 " + " ".join(f"{x:.9f}" for x in pose44_b[:3].ravel())
+                + "\n")
 
     # LiDAR sweep: a frontal wall of points at z=+5 in camera frame. Camera
     # looks along +z (KITTI rectified convention); velodyne frame is camera
@@ -244,3 +250,53 @@ def test_cam2world_from_oxts_fallback(kitti_root):
     ds.cam0_to_world_file = os.path.join(kitti_root, "missing.txt")
     np.testing.assert_allclose(ds.cam2world(7), want_imu, rtol=1e-9,
                                atol=1e-12)
+
+
+def test_perspective_camera_matches_reference(kitti_root, rng_np,
+                                              monkeypatch):
+    """Our PerspectiveCamera vs the reference's own cameras.py on the same
+    on-disk calibration/pose fixture: the cam2world chain (pose @ camToPose
+    @ R_rect^-1), the cam2image(New) rounding/|depth| projection, and the
+    inverse world2cam transform."""
+    import importlib.util
+    import sys
+
+    seq = "2013_05_28_drive_0000_sync"
+    ref_dir = "/root/reference/preprocess/KITTI360"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not mounted")
+    monkeypatch.setattr(np, "int", int, raising=False)  # legacy np.int use
+    sys.path.insert(0, ref_dir)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_cameras", os.path.join(ref_dir, "cameras.py"))
+        ref_cams = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_cams)
+        ref = ref_cams.CameraPerspective(kitti_root, seq=seq, cam_id=0)
+    finally:
+        sys.path.remove(ref_dir)
+
+    from preprocess.kitti360.camera import PerspectiveCamera
+
+    ours = PerspectiveCamera(kitti_root, seq, cam_id=0)
+
+    # cam2world chain at the fixture's frame
+    np.testing.assert_allclose(ours.cam2world[7], ref.cam2world[7],
+                               rtol=1e-9, atol=1e-12)
+
+    # projection: random camera-frame points incl. behind-camera z<0
+    pts = rng_np.normal(size=(3, 50)) * 3.0
+    pts[2, :40] = np.abs(pts[2, :40]) + 0.5
+    pts[2, 40:] = -np.abs(pts[2, 40:]) - 0.5
+    u_w, v_w, d_w, _ = ref.cam2imageNew(pts.copy())
+    u_g, v_g, d_g = ours.project(pts.copy())
+    np.testing.assert_array_equal(u_g, u_w)
+    np.testing.assert_array_equal(v_g, v_w)
+    np.testing.assert_allclose(d_g, d_w, rtol=1e-12)
+
+    # inverse world2cam
+    world = rng_np.normal(size=(30, 3)) * 5.0
+    c2w = ref.cam2world[7]
+    want = ref.world2cam(world, c2w[:3, :3], c2w[:3, 3], inverse=True)
+    got = ours.world2cam(world, 7)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
