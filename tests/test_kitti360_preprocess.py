@@ -300,3 +300,58 @@ def test_perspective_camera_matches_reference(kitti_root, rng_np,
     want = ref.world2cam(world, c2w[:3, :3], c2w[:3, 3], inverse=True)
     got = ours.world2cam(world, 7)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_velo_to_rect_chain_matches_reference(kitti_root, monkeypatch):
+    """Tr(velodyne -> rectified cam) vs the reference's own
+    Kitti360Dataset.get_velo_to_rec_cam on the shared calibration fixture
+    (cam0->velo inversion, cam_k->cam_0 composition, R_rect)."""
+    import importlib.util
+    import sys
+    import types
+
+    ref_dir = "/root/reference/preprocess/KITTI360"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not mounted")
+    monkeypatch.setattr(np, "int", int, raising=False)
+
+    def load_as(name, fname):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(ref_dir, fname))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    stubs = ["open3d"]
+    saved = {}
+    for s in stubs:
+        saved[s] = sys.modules.get(s)
+        sys.modules[s] = types.ModuleType(s)
+    sys.path.insert(0, ref_dir)
+    loaded = []
+    try:
+        for name, fname in (
+                ("preprocess.KITTI360.loadCalibration", "loadCalibration.py"),
+                ("preprocess.KITTI360.cameras", "cameras.py"),
+                ("preprocess.KITTI360.preprocess_utils",
+                 "preprocess_utils.py")):
+            load_as(name, fname)
+            loaded.append(name)
+        ref_mod = load_as("ref_k360_dataset", "Kitti360Dataset.py")
+        loaded.append("ref_k360_dataset")
+        ds_ref = ref_mod.Kitti360Dataset(0, 0, kitti_root)
+        want = ds_ref.get_velo_to_rec_cam()
+    finally:
+        sys.path.remove(ref_dir)
+        for name in loaded:
+            sys.modules.pop(name, None)
+        for s in stubs:
+            if saved[s] is None:
+                sys.modules.pop(s, None)
+            else:
+                sys.modules[s] = saved[s]
+
+    ds = Kitti360Dataset(0, 0, kitti_root)
+    np.testing.assert_allclose(ds.velo_to_rect(), want, rtol=1e-12,
+                               atol=1e-14)
