@@ -355,3 +355,63 @@ def test_velo_to_rect_chain_matches_reference(kitti_root, monkeypatch):
     ds = Kitti360Dataset(0, 0, kitti_root)
     np.testing.assert_allclose(ds.velo_to_rect(), want, rtol=1e-12,
                                atol=1e-14)
+
+
+def test_fisheye_camera_matches_reference(kitti_root, rng_np, monkeypatch):
+    """FisheyeCamera (MEI model) vs the reference's own CameraFisheye on a
+    shared OpenCV-YAML intrinsics file: unit-sphere projection, xi mirror
+    offset, radial distortion, gamma/principal point, and signed depth."""
+    import importlib.util
+    import sys
+
+    ref_dir = "/root/reference/preprocess/KITTI360"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not mounted")
+    yaml_path = os.path.join(kitti_root, "calibration", "image_02.yaml")
+    if not os.path.exists(yaml_path):
+        with open(yaml_path, "w") as f:
+            f.write("%YAML:1.0\n"
+                    "image_width:1400\n"
+                    "image_height:1400\n"
+                    "mirror_parameters:\n   xi:2.2\n"
+                    "distortion_parameters:\n   k1:0.02\n   k2:-0.006\n"
+                    "projection_parameters:\n"
+                    "   gamma1:1336.0\n   gamma2:1335.0\n"
+                    "   u0:716.9\n   v0:705.8\n")
+
+    monkeypatch.setattr(np, "int", int, raising=False)
+    # legacy yaml.load(stream) without a Loader (cameras.py:19)
+    import yaml as _yaml
+
+    orig_load = _yaml.load
+    monkeypatch.setattr(
+        _yaml, "load",
+        lambda s, *a, **k: orig_load(s, Loader=_yaml.SafeLoader))
+    sys.path.insert(0, ref_dir)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_cameras_fe", os.path.join(ref_dir, "cameras.py"))
+        ref_cams = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_cams)
+        ref = ref_cams.CameraFisheye(
+            kitti_root, seq="2013_05_28_drive_0000_sync", cam_id=2)
+    finally:
+        sys.path.remove(ref_dir)
+
+    from preprocess.kitti360.camera import FisheyeCamera
+
+    ours = FisheyeCamera(kitti_root, "2013_05_28_drive_0000_sync", cam_id=2)
+    assert ours.width == ref.width and ours.height == ref.height
+
+    pts = rng_np.normal(size=(3, 60)) * 4.0
+    pts[2, :45] = np.abs(pts[2, :45]) + 0.5
+    pts[2, 45:] = -np.abs(pts[2, 45:]) - 0.5
+    u_w, v_w, d_w = ref.cam2image(pts.copy())
+    u_g, v_g, d_g = ours.project(pts.copy())
+    np.testing.assert_allclose(np.asarray(u_g, np.float64), u_w, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_g, np.float64), v_w, rtol=1e-9)
+    np.testing.assert_allclose(d_g, d_w, rtol=1e-9)
+
+    # fisheye cam2world chain skips the rectification term
+    np.testing.assert_allclose(ours.cam2world[7], ref.cam2world[7],
+                               rtol=1e-9, atol=1e-12)
