@@ -415,3 +415,56 @@ def test_fisheye_camera_matches_reference(kitti_root, rng_np, monkeypatch):
     # fisheye cam2world chain skips the rectification term
     np.testing.assert_allclose(ours.cam2world[7], ref.cam2world[7],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_depth_and_coords_complete_matches_reference(kitti_root, monkeypatch):
+    """The v2 adapter's full depth-completion flow (rasterize ->
+    fill_in_multiscale(extrapolate) -> sky stamp -> nonzero re-flatten ->
+    post-completion .1/99.9 percentiles) vs the reference's own
+    Kitti360DatasetNew.get_depth_and_coords on the shared fixture."""
+    import importlib.util
+    import sys
+    import types
+
+    ref_root = "/root/reference"
+    ref_dir = os.path.join(ref_root, "preprocess", "KITTI360")
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference checkout not mounted")
+    monkeypatch.setattr(np, "int", int, raising=False)
+
+    saved_open3d = sys.modules.get("open3d")
+    sys.modules["open3d"] = types.ModuleType("open3d")
+    # the reference's flat imports + its top-level utils package
+    sys.path.insert(0, ref_dir)
+    sys.path.insert(0, ref_root)
+    saved_utils = sys.modules.pop("utils", None)
+    saved_dmu = sys.modules.pop("utils.depth_map_utils", None)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_k360_new", os.path.join(ref_dir, "Kitti360Dataset_new.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ds_ref = mod.Kitti360DatasetNew(0, 0, kitti_root)
+        sky = np.array([[0, 0], [1, 0], [5, 1]])
+        want_coords, want_depth, want_lo, want_hi = \
+            ds_ref.get_depth_and_coords(7, sky)
+    finally:
+        sys.path.remove(ref_dir)
+        sys.path.remove(ref_root)
+        sys.modules.pop("open3d", None)
+        if saved_open3d is not None:
+            sys.modules["open3d"] = saved_open3d
+        sys.modules.pop("utils", None)
+        sys.modules.pop("utils.depth_map_utils", None)
+        if saved_utils is not None:
+            sys.modules["utils"] = saved_utils
+        if saved_dmu is not None:
+            sys.modules["utils.depth_map_utils"] = saved_dmu
+
+    ds = Kitti360Dataset(0, 0, kitti_root)
+    coords, depths, lo, hi = ds.depth_and_coords(
+        7, np.array([[0, 0], [1, 0], [5, 1]]), complete=True)
+
+    np.testing.assert_array_equal(coords, np.asarray(want_coords))
+    np.testing.assert_allclose(depths, want_depth, rtol=1e-6)
+    np.testing.assert_allclose([lo, hi], [want_lo, want_hi], rtol=1e-6)
