@@ -60,18 +60,24 @@ def ssim_np(
     h, w = img1.shape[:2]
     size = min(filter_size, h, w)
     sigma = size * filter_sigma / filter_size if filter_size else 0.0
-    window = _fspecial_gauss(size, sigma)
+    window = _fspecial_gauss(size, sigma) if filter_size else None
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
+
+    def filt(x):
+        # filter_size=0 means no blur (eval_utils.py:86-99: mu = img).
+        if window is None:
+            return x
+        return signal.fftconvolve(x, window, mode="same")
 
     vals = []
     for c in range(img1.shape[-1]):
         a, b = img1[..., c], img2[..., c]
-        mu1 = signal.fftconvolve(a, window, mode="same")
-        mu2 = signal.fftconvolve(b, window, mode="same")
-        s11 = signal.fftconvolve(a * a, window, mode="same") - mu1**2
-        s22 = signal.fftconvolve(b * b, window, mode="same") - mu2**2
-        s12 = signal.fftconvolve(a * b, window, mode="same") - mu1 * mu2
+        mu1 = filt(a)
+        mu2 = filt(b)
+        s11 = filt(a * a) - mu1**2
+        s22 = filt(b * b) - mu2**2
+        s12 = filt(a * b) - mu1 * mu2
         ssim_map = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
             (mu1**2 + mu2**2 + c1) * (s11 + s22 + c2)
         )

@@ -107,9 +107,6 @@ def load_torch_resnet18(variables, state_dict) -> dict:
 
 
 def flax_unfreeze(tree):
-    try:  # flax FrozenDict or plain dict
-        return {k: flax_unfreeze(v) for k, v in tree.unfreeze().items()}
-    except AttributeError:
-        if isinstance(tree, dict):
-            return {k: flax_unfreeze(v) for k, v in tree.items()}
-        return tree
+    import flax
+
+    return flax.core.unfreeze(tree)  # FrozenDict or plain dict -> plain dict

@@ -349,12 +349,16 @@ def train(cfg: TrainConfig):
             poses = scene.poses[scene.i_train]
             tag = "train"
         elif cfg.render_mypath:
-            # run_nerf.py:993-995: small spiral around a test pose.
+            # run_nerf.py:995: spiral around test pose index 3 —
+            # generate_renderpath(poses[i_test][3:4], focal, sc=1). Fall back
+            # to the last available test pose when there are fewer than 4.
             from depth_lidar_nerf_tpu.data.poses import generate_render_path
 
-            base = scene.poses[scene.i_test][:1] if len(scene.i_test) else \
-                scene.poses[:1]
-            poses = generate_render_path(base, scene.hwf[2], sc=1.0)[:, :3, :4]
+            pool = scene.poses[scene.i_test] if len(scene.i_test) else \
+                scene.poses
+            k = min(3, len(pool) - 1)
+            poses = generate_render_path(pool[k:k + 1], scene.hwf[2],
+                                         sc=1.0)[:, :3, :4]
             tag = "mypath"
         else:
             poses = np.asarray(scene.render_poses)[:, :3, :4]

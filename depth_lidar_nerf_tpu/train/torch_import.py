@@ -216,12 +216,16 @@ def import_adam_state(optimizer, params, ckpt: Dict, step: int):
     mu, nu = _moments_for_model(params["coarse"], coarse_sd, opt_sd,
                                 index_of, 0)
     mu, nu = {"coarse": mu}, {"coarse": nu}
-    if "fine" in params:
+    # params["fine"] is None for coarse-only models (N_importance=0) — the
+    # moment trees must mirror that structure exactly for optax.
+    if params.get("fine") is not None:
         fine_sd = ckpt["network_fine_state_dict"]
         base = len(_torch_param_names(coarse_sd))
         mu_f, nu_f = _moments_for_model(params["fine"], fine_sd, opt_sd,
                                         index_of, base)
         mu["fine"], nu["fine"] = mu_f, nu_f
+    elif "fine" in params:
+        mu["fine"], nu["fine"] = None, None
 
     count = jnp.asarray(step, jnp.int32)
     fresh = optimizer.init(params)
@@ -269,7 +273,7 @@ def export_reference_checkpoint(state, path: str, *,
                 state.params["coarse"]).items()},
         "optimizer_state_dict": {},
     }
-    if "fine" in state.params:
+    if state.params.get("fine") is not None:
         ckpt["network_fine_state_dict"] = {
             k: torch.from_numpy(v)
             for k, v in _nerf_to_torch_state_dict(
@@ -297,7 +301,10 @@ def import_reference_checkpoint(path: str, state, *,
     params = dict(state.params)
     params["coarse"] = convert_nerf_state_dict(
         state.params["coarse"], ckpt["network_fn_state_dict"])
-    if "fine" in params:
+    # params["fine"] is None for coarse-only models (N_importance=0); a
+    # coarse-only reference run likewise saves network_fine_state_dict=None
+    # (run_nerf.py:1877).
+    if params.get("fine") is not None:
         fine_sd = ckpt.get("network_fine_state_dict")
         if fine_sd is None:
             raise KeyError("model has a fine network but the checkpoint has "

@@ -26,7 +26,13 @@ def main():
                     help="checkpoint step (default: latest)")
     ap.add_argument("--out", default=None,
                     help="output .tar (default: <expdir>/<step>.tar)")
+    ap.add_argument("--semantic_num_classes", type=int, default=None,
+                    help="override when the training data dir is not "
+                         "mounted (normally inferred from "
+                         "segmentation_gt.npy, like the trainer)")
     ns = ap.parse_args()
+
+    import numpy as np
 
     import jax
 
@@ -41,9 +47,20 @@ def main():
         export_reference_checkpoint)
 
     cfg = TrainConfig(**parse_config_file(ns.config))
-    # Model topology does not depend on the scene; semantic head size comes
-    # from the config (the loader normally fills it — keep whatever is set).
-    rcfg = render_config_from(cfg, cfg.semantic_num_classes or 0, 0.0, 1.0)
+    # The semantic head's class count is loader-filled at train time (no
+    # config carries it); reproduce the loader's answer so the restore
+    # template matches the checkpoint's tree.
+    classes = ns.semantic_num_classes or cfg.semantic_num_classes or 0
+    if cfg.semantic_loss and not classes:
+        seg_path = os.path.join(cfg.datadir, "segmentation_gt.npy")
+        if not os.path.exists(seg_path):
+            raise SystemExit(
+                "config has semantic_loss=True but the class count cannot "
+                f"be inferred ({seg_path} not found) — pass "
+                "--semantic_num_classes")
+        classes = int(np.load(seg_path, allow_pickle=True).item()
+                      ["num_classes"])
+    rcfg = render_config_from(cfg, classes, 0.0, 1.0)
     models = build_models(cfg, rcfg)
     state = init_train_state(cfg, rcfg, models, jax.random.key(0))
 

@@ -338,3 +338,16 @@ def test_eval_ssim_small_image_filter_reduction(ref_eval, rng_np):
     want = ref_eval.ssim(a[None] * 255.0, b[None] * 255.0, max_val=255)
     got = ssim_np(a, b, max_val=1.0)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_eval_ssim_filter_size_zero_matches_reference(ref_eval, rng_np):
+    """filter_size=0 is the reference's no-blur identity path
+    (eval_utils.py:86-99); ours must not crash on the empty window."""
+    from depth_lidar_nerf_tpu.evaluation.metrics import ssim_np
+
+    a = rng_np.uniform(0, 1, (10, 12, 3)).astype(np.float64)
+    b = np.clip(a + rng_np.normal(size=a.shape) * 0.05, 0, 1)
+    want = ref_eval.ssim(a[None] * 255.0, b[None] * 255.0, max_val=255,
+                         filter_size=0)
+    got = ssim_np(a, b, max_val=1.0, filter_size=0)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

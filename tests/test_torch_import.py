@@ -275,3 +275,47 @@ def test_export_roundtrip_and_torch_loadable(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_import_export_coarse_only_model(tmp_path):
+    """N_importance=0 models: TrainState.params carries fine=None; both
+    import and export must treat that as 'no fine network' (the reference
+    saves network_fine_state_dict=None for such runs, run_nerf.py:1877)."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_lidar_nerf_tpu.models.nerf_mlp import NeRFMLP
+    from depth_lidar_nerf_tpu.train.torch_import import (
+        export_reference_checkpoint, import_reference_checkpoint)
+
+    W, IC, ICV = 32, 9, 6
+    mk = lambda: NeRFMLP(depth=2, width=W, in_channels=IC,  # noqa: E731
+                         in_channels_views=ICV, skips=())
+    pe, ve = jnp.zeros((1, IC)), jnp.zeros((1, ICV))
+
+    class S:
+        step = jnp.int32(5)
+        disc_params = None
+
+        def replace(self, **kw):
+            for k, v in kw.items():
+                setattr(self, k, v)
+            return self
+
+    s = S()
+    s.params = {"coarse": mk().init(jax.random.key(0), pe, ve), "fine": None}
+    tar = str(tmp_path / "000005.tar")
+    export_reference_checkpoint(s, tar)
+    ck = torch.load(tar, map_location="cpu", weights_only=True)
+    assert "network_fine_state_dict" not in ck
+
+    s2 = S()
+    s2.params = {"coarse": mk().init(jax.random.key(1), pe, ve), "fine": None}
+    s2 = import_reference_checkpoint(tar, s2)
+    assert int(s2.step) == 5
+    assert s2.params["fine"] is None
+    import numpy as _np
+
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
