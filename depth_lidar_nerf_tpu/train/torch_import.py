@@ -231,9 +231,13 @@ def import_adam_state(optimizer, params, ckpt: Dict, step: int):
     fresh = optimizer.init(params)
     out = []
     for s in fresh:
-        if hasattr(s, "mu") and hasattr(s, "nu"):
+        # NB: check _fields, not hasattr — every (named)tuple has a
+        # `count` METHOD, so hasattr(s, "count") is true even for
+        # optax.EmptyState (e.g. the scale step of adam with a float lr).
+        fields = getattr(type(s), "_fields", ())
+        if "mu" in fields and "nu" in fields:
             s = s._replace(count=count, mu=mu, nu=nu)
-        elif hasattr(s, "count"):
+        elif "count" in fields:
             s = s._replace(count=count)
         out.append(s)
     return tuple(out)

@@ -319,3 +319,45 @@ def test_import_export_coarse_only_model(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s.params),
                     jax.tree_util.tree_leaves(s2.params)):
         _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
+
+
+def test_import_adam_moments_coarse_only(tmp_path):
+    """Adam-moment import with params['fine']=None: the mu/nu trees must
+    mirror the None leaf exactly — proven by running a real optax update
+    on the imported state."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from depth_lidar_nerf_tpu.models.nerf_mlp import NeRFMLP
+    from depth_lidar_nerf_tpu.train.torch_import import import_adam_state
+
+    W, IC, ICV = 32, 9, 6
+    coarse_t = _rand_init(_TorchNeRF(2, W, IC, ICV, (), 0), 0)
+    opt_t = torch.optim.Adam(coarse_t.parameters(), lr=1e-3)
+    torch.manual_seed(3)
+    for _ in range(2):
+        opt_t.zero_grad()
+        coarse_t(torch.randn(4, IC), torch.randn(4, ICV)).square().mean().backward()
+        opt_t.step()
+
+    ckpt = {"global_step": 2,
+            "network_fn_state_dict": coarse_t.state_dict(),
+            "optimizer_state_dict": opt_t.state_dict()}
+
+    mk = lambda: NeRFMLP(depth=2, width=W, in_channels=IC,  # noqa: E731
+                         in_channels_views=ICV, skips=())
+    pe, ve = jnp.zeros((1, IC)), jnp.zeros((1, ICV))
+    params = {"coarse": mk().init(jax.random.key(0), pe, ve), "fine": None}
+    optimizer = optax.adam(learning_rate=1e-3)
+    opt_state = import_adam_state(optimizer, params, ckpt, 2)
+    assert opt_state is not None
+
+    # Structure check: one real update with a grads tree shaped like params.
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    assert updates["fine"] is None
+    adam = next(s for s in opt_state if hasattr(s, "mu"))
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["coarse"]["params"]["trunk_0"]["kernel"]),
+        opt_t.state_dict()["state"][0]["exp_avg"].numpy().T, rtol=1e-6)
