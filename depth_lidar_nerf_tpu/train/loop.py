@@ -298,13 +298,17 @@ def train(cfg: TrainConfig):
         # torch .tar (orbax checkpoints are directories): import its weights
         # so users can migrate trained reference runs directly.
         if os.path.isfile(cfg.ft_path):
-            from depth_lidar_nerf_tpu.train.state import make_optimizer
+            from depth_lidar_nerf_tpu.train.state import (make_disc_optimizer,
+                                                          make_optimizer)
             from depth_lidar_nerf_tpu.train.torch_import import (
                 import_reference_checkpoint)
 
             opt = None if cfg.no_reload_optimizer else make_optimizer(cfg)
+            dopt = (make_disc_optimizer(cfg)
+                    if cfg.gan_loss and not cfg.no_reload_optimizer else None)
             state = import_reference_checkpoint(
-                cfg.ft_path, state, patch_hw=(cfg.nH, cfg.nW), optimizer=opt)
+                cfg.ft_path, state, patch_hw=(cfg.nH, cfg.nW), optimizer=opt,
+                disc_optimizer=dopt)
         else:
             state = restore_from_path(cfg.ft_path, state)
         start = int(state.step)

@@ -227,13 +227,17 @@ def import_adam_state(optimizer, params, ckpt: Dict, step: int):
     elif "fine" in params:
         mu["fine"], nu["fine"] = None, None
 
+    return _set_counts_and_moments(optimizer, params, mu, nu, step)
+
+
+def _set_counts_and_moments(optimizer, params, mu, nu, step):
+    """Fresh ``optimizer.init(params)`` with counts/moments transplanted.
+
+    NB: check ``_fields``, not ``hasattr`` — every (named)tuple has a
+    ``count`` METHOD, so hasattr is true even for ``optax.EmptyState``."""
     count = jnp.asarray(step, jnp.int32)
-    fresh = optimizer.init(params)
     out = []
-    for s in fresh:
-        # NB: check _fields, not hasattr — every (named)tuple has a
-        # `count` METHOD, so hasattr(s, "count") is true even for
-        # optax.EmptyState (e.g. the scale step of adam with a float lr).
+    for s in optimizer.init(params):
         fields = getattr(type(s), "_fields", ())
         if "mu" in fields and "nu" in fields:
             s = s._replace(count=count, mu=mu, nu=nu)
@@ -241,6 +245,39 @@ def import_adam_state(optimizer, params, ckpt: Dict, step: int):
             s = s._replace(count=count)
         out.append(s)
     return tuple(out)
+
+
+def import_disc_adam_state(optimizer, disc_params, ckpt: Dict, step: int,
+                           patch_hw: Optional[tuple] = None):
+    """Rebuild the discriminator Adam state from
+    ``discriminator_optimizer_dict`` (run_nerf.py:1264,1287,1881).
+
+    Reference ESRDiscriminator registers ``classifier`` BEFORE ``model``
+    (discriminator.py:49-55), so ``parameters()`` order is classifier.0
+    weight/bias then the four convs — the moment arrays map through the
+    same OIHW->HWIO / flatten-order transforms as the weights, which
+    :func:`convert_discriminator` already implements. Returns ``None``
+    when the checkpoint has no usable state.
+    """
+    opt_sd = ckpt.get("discriminator_optimizer_dict") or {}
+    if not opt_sd.get("state"):
+        return None
+    group = opt_sd["param_groups"][0]["params"]
+    index_of = dict(enumerate(group))
+    # grad_vars order -> torch key names (classifier first; see docstring).
+    names = ["classifier.0.weight", "classifier.0.bias"]
+    for i in (0, 2, 4, 6):
+        names += [f"model.{i}.weight", f"model.{i}.bias"]
+
+    def fake_sd(which):
+        return {n: np.asarray(opt_sd["state"][index_of[pos]][which])
+                for pos, n in enumerate(names)}
+
+    mu = convert_discriminator(disc_params, fake_sd("exp_avg"), patch_hw,
+                               arch="esr")
+    nu = convert_discriminator(disc_params, fake_sd("exp_avg_sq"), patch_hw,
+                               arch="esr")
+    return _set_counts_and_moments(optimizer, disc_params, mu, nu, step)
 
 
 def _nerf_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
@@ -292,6 +329,7 @@ def export_reference_checkpoint(state, path: str, *,
 def import_reference_checkpoint(path: str, state, *,
                                 patch_hw: Optional[tuple] = None,
                                 optimizer=None,
+                                disc_optimizer=None,
                                 verbose: bool = True):
     """Load a reference ``.tar`` checkpoint file into ``state`` (a TrainState).
 
@@ -335,6 +373,16 @@ def import_reference_checkpoint(path: str, state, *,
             if verbose:
                 print(f"optimizer moments not imported ({e}); keeping fresh "
                       "init (--no_reload_optimizer semantics)")
+    if disc_optimizer is not None and "disc_params" in updates:
+        try:
+            dstate = import_disc_adam_state(
+                disc_optimizer, updates["disc_params"], ckpt, step, patch_hw)
+            if dstate is not None:
+                updates["disc_opt_state"] = dstate
+        except (KeyError, ValueError, IndexError) as e:
+            if verbose:
+                print(f"discriminator moments not imported ({e}); keeping "
+                      "fresh init")
     new_state = state.replace(step=jnp.asarray(step, jnp.int32), **updates)
     if verbose:
         moved = ", ".join(sorted(updates))

@@ -361,3 +361,79 @@ def test_import_adam_moments_coarse_only(tmp_path):
     np.testing.assert_allclose(
         np.asarray(adam.mu["coarse"]["params"]["trunk_0"]["kernel"]),
         opt_t.state_dict()["state"][0]["exp_avg"].numpy().T, rtol=1e-6)
+
+
+def test_import_disc_adam_moments_match_torch(tmp_path):
+    """Discriminator Adam moments: the reference registers classifier
+    BEFORE model (discriminator.py:49-55), so parameters() order is
+    classifier-first — train a real torch Adam on the reference-ordered
+    module and check the imported optax moments (incl. the conv OIHW->HWIO
+    and classifier flatten permutations)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from depth_lidar_nerf_tpu.models.discriminator import ESRDiscriminator
+    from depth_lidar_nerf_tpu.train.torch_import import import_disc_adam_state
+
+    nn = torch.nn
+    nH, nW = 12, 16
+
+    class TD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            # reference attribute order: classifier BEFORE model
+            self.classifier = nn.Sequential(
+                nn.Linear(32 * (nH // 4) * (nW // 4), 1))
+            blocks = []
+            cin = 3
+            for cout in (16, 32):
+                blocks += [nn.Conv2d(cin, cout, 3, 1, 1), nn.LeakyReLU(0.2),
+                           nn.Conv2d(cout, cout, 3, 2, 1), nn.LeakyReLU(0.2)]
+                cin = cout
+            self.model = nn.Sequential(*blocks)
+
+        def forward(self, img):
+            return self.classifier(torch.flatten(self.model(img), 1))
+
+    td = _rand_init(TD(), 9)
+    opt_t = torch.optim.Adam(td.parameters(), lr=5e-4, betas=(0.9, 0.999))
+    torch.manual_seed(4)
+    for _ in range(2):
+        opt_t.zero_grad()
+        td(torch.randn(2, 3, nH, nW)).square().mean().backward()
+        opt_t.step()
+
+    ckpt = {"discriminator_state_dict": td.state_dict(),
+            "discriminator_optimizer_dict": opt_t.state_dict()}
+    tar = tmp_path / "d.tar"
+    torch.save(ckpt, str(tar))
+    from depth_lidar_nerf_tpu.utils.torch_weights import load_state_dict
+
+    ckpt = load_state_dict(str(tar))
+
+    d = ESRDiscriminator()
+    x = np.zeros((1, nH, nW, 3), np.float32)
+    variables = d.init(jax.random.key(0), jnp.asarray(x))
+    optimizer = optax.adam(learning_rate=5e-4, b1=0.9, b2=0.999, eps=1e-8)
+    dstate = import_disc_adam_state(optimizer, variables, ckpt, 2,
+                                    patch_hw=(nH, nW))
+    assert dstate is not None
+    adam = next(s for s in dstate if "mu" in getattr(type(s), "_fields", ()))
+    assert int(adam.count) == 2
+
+    t_state = opt_t.state_dict()["state"]
+    # grad_vars[2] = model.0.weight (classifier's two tensors come first)
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["params"]["block0_conv0"]["kernel"]),
+        t_state[2]["exp_avg"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    # classifier moment gets the same flatten permutation as the weight
+    w = t_state[0]["exp_avg_sq"].numpy()  # [1, 32*h*w]
+    h, w_ = nH // 4, nW // 4
+    want = w.reshape(1, 32, h, w_).transpose(0, 2, 3, 1).reshape(1, -1).T
+    np.testing.assert_allclose(
+        np.asarray(adam.nu["params"]["classifier"]["kernel"]), want,
+        rtol=1e-6)
+    # structure check: a real update step works
+    grads = jax.tree.map(jnp.ones_like, variables)
+    optimizer.update(grads, dstate, variables)
