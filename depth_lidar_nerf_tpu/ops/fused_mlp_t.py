@@ -918,20 +918,29 @@ def _pack_sem(params, dtype):
             p["semantic_1"]["bias"].astype(jnp.float32)[None]]
 
 
+def _sem_ray_feature(feat, R, S, dtype):
+    """feat [T, W] -> unweighted per-ray feature sum [R, W] in ``dtype``."""
+    E = _expand_matrix(R, S, dtype)  # [T, R]
+    return _dot_c0(E, feat).astype(dtype)
+
+
 def _sem_head_tile(feat, sem_ws, R, S, dtype):
     """feat [T, W] -> ray-summed semantic logits [R, C].
 
-    Head math mirrors NeRFMLP / the reference (two Dense layers, no
+    Head math mirrors NeRFMLP / the reference (two Dense layers, NO
     activation between, off the pre-view ``feature`` —
     run_nerf_helpers.py:107-111); the per-ray reduction is the reference's
-    UNWEIGHTED sum over samples (run_nerf_helpers.py:589), done in-kernel so
-    the [N, S, C] per-point logits tensor never exists in HBM.
+    UNWEIGHTED sum over samples (run_nerf_helpers.py:589). Because the head
+    is affine and the sum is unweighted, they commute:
+    ``sum_s head(feat_s) == head(sum_s feat_s)`` with biases scaled by S —
+    so the head matmuls run on [R, W] per-RAY feature sums instead of
+    [T, W] per-point features (S = T/R fewer MXU passes for the head, and
+    the [N, S, C] per-point logits tensor never exists at all).
     """
     ws0, bs0, ws1, bs1 = sem_ws
-    s0 = (_dot(feat, ws0) + bs0).astype(dtype)  # [T, W/2]
-    sem = _dot(s0, ws1) + bs1  # [T, C] f32
-    E = _expand_matrix(R, S, jnp.float32)  # [T, R]
-    return _dot_c0(E, sem)  # [R, C]
+    fsum = _sem_ray_feature(feat, R, S, dtype)  # [R, W]
+    s0r = (_dot(fsum, ws0) + float(S) * bs0).astype(dtype)  # [R, W/2]
+    return _dot(s0r, ws1) + float(S) * bs1  # [R, C] f32
 
 
 def _fwd_kernel_sem_only(spec, xt_ref, vt_ref, *refs):
@@ -1011,22 +1020,25 @@ def _bwd_kernel_acts_sem(spec, xt_ref, vt_ref, g_ref, gsem_ref, *refs):
                                   ).astype(dtype)
     dwve = _dot(enc_v, dhv_ray)
 
-    # Semantic head backward: expand the per-ray cotangent, recompute s0
-    # from the streamed feature activation.
-    Ef = _expand_matrix(R, S, jnp.float32)
-    gsem = _dot(Ef, gsem_ref[:].astype(jnp.float32))  # [T, C] f32
-    gsem_b = gsem.astype(dtype)
-    s0 = (_dot(feat, ws0) + bs0).astype(dtype)  # [T, W/2]
-    dws1 = jax.lax.dot_general(s0, gsem_b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dbs1 = jnp.sum(gsem, 0, keepdims=True)
-    ds0 = _dot_b_t(gsem_b, ws1)  # [T, W/2] f32 (no activation between)
-    ds0_b = ds0.astype(dtype)
-    dws0 = jax.lax.dot_general(feat, ds0_b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dbs0 = jnp.sum(ds0, 0, keepdims=True)
+    # Semantic head backward — exact adjoint of the affine-head-on-ray-sum
+    # forward (_sem_head_tile): all head matmuls run on per-RAY [R, *]
+    # operands; only the feature ray-sum and the final cotangent expansion
+    # touch per-point [T, W] tensors.
+    gsem_r = gsem_ref[:].astype(jnp.float32)  # [R, C]
+    gsem_rb = gsem_r.astype(dtype)
+    fsum = _sem_ray_feature(feat, R, S, dtype)  # [R, W] (recompute)
+    s0r = (_dot(fsum, ws0) + float(S) * bs0).astype(dtype)  # [R, W/2]
+    dws1 = _dot_c0(s0r, gsem_rb)  # [W/2, C]
+    dbs1 = float(S) * jnp.sum(gsem_r, 0, keepdims=True)
+    ds0r = _dot_b_t(gsem_rb, ws1)  # [R, W/2] f32 (no activation between)
+    ds0r_b = ds0r.astype(dtype)
+    dws0 = _dot_c0(fsum, ds0r_b)  # [W, W/2]
+    dbs0 = float(S) * jnp.sum(ds0r, 0, keepdims=True)
+    dfeat_ray = _dot_b_t(ds0r_b, ws0).astype(dtype)  # [R, W]
+    E_sem = _expand_matrix(R, S, dtype)  # [T, R]
+    dfeat_sem = _dot(E_sem, dfeat_ray)  # [T, W] f32
 
-    dfeat_f32 = _dot_b_t(dhv, wvf) + _dot_b_t(ds0_b, ws0)
+    dfeat_f32 = _dot_b_t(dhv, wvf) + dfeat_sem
     dfeat = dfeat_f32.astype(dtype)
     h_last = acts[-1]
     dwfs = jax.lax.dot_general(h_last, dfeat, (((0,), (0,)), ((), ())),
