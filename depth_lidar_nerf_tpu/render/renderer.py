@@ -18,6 +18,7 @@ warp.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -358,6 +359,33 @@ def pick_render_tile(model, fine_model, params, cfg: RenderConfig, n: int,
     return tile if flax_cap is None else min(tile, flax_cap)
 
 
+@functools.lru_cache(maxsize=64)
+def _tiled_render_jit(model, fine_model, cfg: RenderConfig, with_rng: bool):
+    """Compiled tile loop, cached across calls.
+
+    An *eager* ``lax.map`` re-lowers and recompiles the whole dual-pass
+    renderer on EVERY call; with remote XLA compilation (the axon tunnel)
+    that cost a measured ~30s per ``i_img``/testset event, dominating the
+    driver's windowed rays/s every ``i_img`` iterations (PERF.md round 3,
+    "Eval-path recompiles"). Caching the jitted closure makes repeat renders
+    pay compile exactly once per (model, config, shape) like the train step.
+    Note ``render_rays`` reads ``DLNERF_ACTS_COARSE`` at trace time, so env
+    changes between calls of one process don't take effect here (they never
+    did for the train step either).
+    """
+
+    @jax.jit
+    def run(params, tiles, tile_keys):
+        def body(args):
+            r, k = args
+            return render_rays(model, fine_model, params, r, cfg,
+                               rng=k if with_rng else None)
+
+        return jax.lax.map(body, (tiles, tile_keys))
+
+    return run
+
+
 def render_rays_tiled(
     model,
     fine_model,
@@ -388,12 +416,8 @@ def render_rays_tiled(
         else jnp.zeros((n_tiles,), jnp.int32)
     )
 
-    def body(args):
-        r, k = args
-        return render_rays(model, fine_model, params, r, cfg,
-                           rng=k if rng is not None else None)
-
-    out = jax.lax.map(body, (tiles, tile_keys))
+    run = _tiled_render_jit(model, fine_model, cfg, rng is not None)
+    out = run(params, tiles, tile_keys)
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
 
 

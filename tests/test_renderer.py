@@ -135,3 +135,26 @@ def test_render_rays_with_pallas_sampling_matches_default():
     np.testing.assert_allclose(np.asarray(got["depth_map"]),
                                np.asarray(base["depth_map"]), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_tiled_render_trace_is_cached():
+    """Repeat renders must not re-lower the renderer: an eager ``lax.map``
+    re-traces and recompiles the whole dual-pass renderer on every call,
+    which over remote XLA compilation cost ~30s per i_img/testset event
+    (PERF.md round 3, "Eval-path recompiles"). The jitted tile loop is
+    lru-cached on (models, config, rng-ness), so a second identical render
+    must be a cache hit."""
+    from depth_lidar_nerf_tpu.render.renderer import (_tiled_render_jit,
+                                                      render_rays_tiled)
+
+    cfg, model, fine, params = _setup()
+    rays = _rand_rays(cfg, n=24)
+    _tiled_render_jit.cache_clear()
+    a = render_rays_tiled(model, fine, params, rays, cfg.eval_mode(), tile=8)
+    info = _tiled_render_jit.cache_info()
+    assert info.misses == 1 and info.hits == 0
+    b = render_rays_tiled(model, fine, params, rays, cfg.eval_mode(), tile=8)
+    info = _tiled_render_jit.cache_info()
+    assert info.misses == 1 and info.hits == 1
+    np.testing.assert_allclose(np.asarray(a["rgb_map"]),
+                               np.asarray(b["rgb_map"]), rtol=0, atol=0)
