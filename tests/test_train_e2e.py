@@ -681,3 +681,29 @@ def test_flags_doc_covers_every_field():
     missing = [f.name for f in dataclasses.fields(TrainConfig)
                if f"`{f.name}`" not in doc]
     assert not missing, f"undocumented flags: {missing}"
+
+
+def test_prewarm_does_not_change_trajectory(scene_dir, tmp_path, monkeypatch):
+    """The background variant pre-warmer (loop._prewarm_async) compiles step
+    variants on throwaway state clones concurrently with training; the
+    trained result must be bit-identical to a run with warming disabled."""
+    import jax
+
+    def run(warm, sub):
+        monkeypatch.setenv("DLNERF_PREWARM", "1" if warm else "0")
+        cfg = _tiny_cfg(scene_dir, str(tmp_path) + sub, N_iters=25, i_print=25,
+                        i_weights=25, colmap_depth=True, depth_loss=True,
+                        depth_inverse_loss=True, depth_inverse_loss_every_n=5,
+                        feature_loss=True, feature_start_iteration=1,
+                        feature_loss_every_n=5, feature_lambda=0.01,
+                        vgg_layers=["conv1_2"], vgg_layer_weights=[1.0],
+                        nH=12, nW=16, gradH=4, gradW=4)
+        os.makedirs(str(tmp_path) + sub, exist_ok=True)
+        return train(cfg)
+
+    s_warm = run(True, "w")
+    s_cold = run(False, "c")
+    a = jax.tree.leaves(s_warm.params)
+    b = jax.tree.leaves(s_cold.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
