@@ -1682,3 +1682,180 @@ def _apply_rays_core(params, rays_o, rays_d, viewdirs, z_vals, key=None,
         raw_t = _fused_t(params, ptsT, vt_f, vt_b, spec)  # [4, P]
     out = raw_t.reshape(4, n_full, S)
     return out[:, :N] if n_pad else out
+
+
+# ------------------------------------------------------ int8 serving forward
+#
+# Eval-only W8A8 path for render/serving calls: weights are quantized
+# per-output-column to int8 at dispatch, activations per-point (per tile row)
+# dynamically in-kernel, and every wide matmul (trunk, feature, view branch)
+# runs s8 x s8 -> s32 on the MXU — which executes int8 at 2x the bf16 rate on
+# v5e-class chips. The first layer (K = 3 + 6*multires, half-filled array
+# anyway), the skip-concat matmuls, and the M=4 heads stay bf16: their pass
+# count doesn't shrink under int8, so quantizing them would only add VPU
+# work. There is NO backward — the renderer dispatches this path only for
+# pure render calls (RenderConfig.render_int8), never inside a loss.
+
+def _quant_cols(w):
+    """Per-output-column symmetric int8 quantization of a [K, N] weight.
+
+    Returns (q int8 [K, N], scale f32 [1, N]) with w ~= q * scale."""
+    m = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
+    s = jnp.maximum(m, 1e-30) * (1.0 / 127.0)
+    return jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8), s
+
+
+def _qdot(h, wq, srow):
+    """Dynamic per-row W8A8 matmul: h [T, K] (bf16/f32) x wq [K, N] int8
+    (per-column scales ``srow`` [1, N] f32) -> f32 [T, N].
+
+    The activation scale is the per-point (row) max-abs — exact zero rows
+    get scale eps and quantize to all-zero. Rounding h*r happens in f32
+    (integers <= 127 are exact in every float width)."""
+    hf = h.astype(jnp.float32)
+    m = jnp.max(jnp.abs(hf), axis=1, keepdims=True)  # [T, 1]
+    r = 127.0 / jnp.maximum(m, 1e-30)
+    q = jnp.round(hf * r).astype(jnp.int8)
+    acc = jax.lax.dot_general(q, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * ((m * (1.0 / 127.0)) * srow)
+
+
+def _pack_params_q8(params, depth, n_p, n_v, dtype, skips=()):
+    """Quantized weight pack: the bf16 pack with trunk/feature/view-f weights
+    replaced by int8 twins and their column scales stacked into one
+    [pad8(depth + 1), W] f32 matrix (rows 0..depth-2 trunk, depth-1 feature,
+    depth view-f — lane-padded from W/2)."""
+    flat = _pack_params(params, depth, n_p, n_v, dtype, skips)
+    (w1, b1, tw, tb, sw, wfs, bfs, wsig, wvf, wve, bv, wr, br) = _unflatten(
+        flat, depth, skips)
+    W = wfs.shape[0]
+    twq, scales = [], []
+    for k in tw:
+        q, s = _quant_cols(k)
+        twq.append(q)
+        scales.append(s)
+    wfsq, s_f = _quant_cols(wfs)
+    wvfq, s_v = _quant_cols(wvf)  # [1, W/2]
+    s_v = jnp.pad(s_v, ((0, 0), (0, W - s_v.shape[1])))
+    sc = jnp.concatenate(scales + [s_f, s_v], axis=0)  # [depth + 1, W]
+    sc = jnp.pad(sc, ((0, (-sc.shape[0]) % 8), (0, 0)))
+    sws = [sw[k] for k in sorted(sw)]
+    return [w1, b1, *twq, *tb, *sws, wfsq, bfs, wsig, wvfq, wve, bv, wr, br,
+            sc]
+
+
+def _forward_tile_q8(spec, xt, vt, ws):
+    """One tile of the quantized serving forward (cf. :func:`_forward_tile`;
+    same math modulo int8 rounding on the wide matmuls)."""
+    depth, dtype, S, R = spec[:4]
+    (w1, b1, twq, tb, sw, wfsq, bfs, wsig, wvfq, wve, bv, wr, br, sc) = ws
+    W = wfsq.shape[0]
+
+    relu = _relu_cast
+    enc_x = _encode_t(xt, (w1.shape[0] - 3) // 6, dtype)
+    h = relu(_dot_c0(enc_x, w1) + b1, dtype)
+    for i in range(depth - 1):
+        acc = _qdot(h, twq[i], sc[i:i + 1, :]) + tb[i]
+        if i in sw:
+            acc = acc + _dot_c0(enc_x, sw[i])
+        h = relu(acc, dtype)
+
+    feat = (_qdot(h, wfsq, sc[depth - 1:depth, :]) + bfs).astype(dtype)
+    sigT = jax.lax.dot_general(wsig, h, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    enc_v = _encode_t(vt[:, :R], (wve.shape[0] - 3) // 6, dtype)
+    hv_ray = _dot_c0(enc_v, wve).astype(dtype)  # [R, W/2]
+    E = _expand_matrix(R, S, dtype)
+    Wv = wvfq.shape[1]
+    hv = relu(_qdot(feat, wvfq, sc[depth:depth + 1, :Wv])
+              + _dot(E, hv_ray) + bv, dtype)
+
+    rgbT = jax.lax.dot_general(wr, hv, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return rgbT + sigT + br
+
+
+def _unflatten_q8(flat, depth, skips=()):
+    *core, sc = flat
+    (w1, b1, twq, tb, sw, wfsq, bfs, wsig, wvfq, wve, bv, wr, br) = _unflatten(
+        core, depth, skips)
+    return (w1, b1, twq, tb, sw, wfsq, bfs, wsig, wvfq, wve, bv, wr, br, sc)
+
+
+def _fwd_kernel_q8(spec, xt_ref, vt_ref, *refs):
+    out_ref = refs[-1]
+    ws = _unflatten_q8([r[:] for r in refs[:-1]], spec[0], _spec_skips(spec))
+    out_ref[:] = _forward_tile_q8(spec, xt_ref[:], vt_ref[:], ws)
+
+
+def _fwd_impl_q8(params, xt, vt_f, spec):
+    depth, dtype, S, tile_f, n_p, n_v = spec[:6]
+    skips = spec[6] if len(spec) > 6 else ()
+    ws = _pack_params_q8(params, depth, n_p, n_v, dtype, skips)
+    P = xt.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_q8,
+                          (depth, dtype, S, tile_f // S, skips)),
+        grid=(P // tile_f,),
+        in_specs=[
+            pl.BlockSpec((3, tile_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+        ],
+        out_specs=pl.BlockSpec((4, tile_f), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_f, *ws)
+
+
+def _apply_rays_q8_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
+                        width, multires, multires_views, dtype, skips=()):
+    N, S = z_vals.shape
+    skips = _live_skips(depth, skips)
+    tile_f = _fwd_tile_size(S)
+    n_pad = (-N) % (tile_f // S)
+    n_full = N + n_pad
+    if n_pad:
+        rays_o = jnp.pad(rays_o, ((0, n_pad), (0, 0)))
+        rays_d = jnp.pad(rays_d, ((0, n_pad), (0, 0)))
+        viewdirs = jnp.pad(viewdirs, ((0, n_pad), (0, 0)))
+        z_vals = jnp.pad(z_vals, ((0, n_pad), (0, 0)))
+    ot = rays_o.astype(jnp.float32).T[:, :, None]
+    dt_ = rays_d.astype(jnp.float32).T[:, :, None]
+    ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
+    vt_f = _build_vt(viewdirs.astype(jnp.float32).T, n_full, S, tile_f)
+    spec = (depth, dtype, S, tile_f, multires, multires_views, skips)
+    out = _fwd_impl_q8(params, ptsT, vt_f, spec).reshape(4, n_full, S)
+    return out[:, :N] if n_pad else out
+
+
+def fused_nerf_apply_rays_q8(params, rays_o, rays_d, viewdirs, z_vals, *,
+                             depth, width, multires, multires_views,
+                             dtype=jnp.bfloat16, mesh=None, ray_axis="rays",
+                             skips=()):
+    """Quantized (W8A8) serving forward: rays + z -> channel-major raw
+    [4, N, S]. EVAL ONLY — there is no VJP; callers (the renderer's
+    ``render_int8`` dispatch) must never differentiate through it. Topology
+    coverage equals :func:`supports_rays`."""
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P_
+
+        core = functools.partial(
+            _apply_rays_q8_core, depth=depth, width=width, multires=multires,
+            multires_views=multires_views, dtype=dtype, skips=skips)
+        return jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(P_(), P_(ray_axis), P_(ray_axis), P_(ray_axis),
+                      P_(ray_axis)),
+            out_specs=P_(None, ray_axis),
+            check_vma=False,
+        )(params, rays_o, rays_d, viewdirs, z_vals)
+    return _apply_rays_q8_core(params, rays_o, rays_d, viewdirs, z_vals,
+                               depth=depth, width=width, multires=multires,
+                               multires_views=multires_views, dtype=dtype,
+                               skips=skips)

@@ -59,6 +59,11 @@ class RenderConfig:
     # weight, making their cotangents exactly zero so the fused kernels'
     # backward skips their FLOPs. 0.0 = strict reference semantics.
     cull_eps: float = 0.0
+    # Quantized (W8A8 int8-MXU) serving forward for pure render calls
+    # (TPU-native, no reference counterpart). The train loop only sets this
+    # on the RenderConfig it hands to eval renders — the int8 kernel has no
+    # VJP and must never sit inside a loss.
+    render_int8: bool = False
 
     def render_tile(self, fused: bool = False) -> int:
         """Ray-tile size for :func:`render_rays_tiled` honoring both knobs.
@@ -186,6 +191,19 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
             raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
             rng=noise_rng, cull_eps=cfg.cull_eps, noise=noise)
         return out._replace(semantic=sem_map)
+    if (cfg.render_int8 and cfg.num_semantic_classes == 0
+            and hasattr(model, "apply_rays_q8") and rays.viewdirs is not None
+            and supports_rays_shape(S)
+            and model.supports_rays_path(params, cfg)
+            and (not hasattr(model, "rays_ok")
+                 or model.rays_ok(z_vals.shape[0]))):
+        # Quantized serving path: same topology coverage as apply_rays; the
+        # semantic stack falls through to the bf16 kernels (no int8 head).
+        raw_t = model.apply_rays_q8(params, rays, z_vals, cfg)
+        return raw2outputs_t(
+            raw_t, z_vals, rays.directions,
+            raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
+            rng=noise_rng, cull_eps=cfg.cull_eps)
     if (hasattr(model, "apply_rays") and rays.viewdirs is not None
             and supports_rays_shape(S)
             # supports_rays_path (v4) also covers the reference-default

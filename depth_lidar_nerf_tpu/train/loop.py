@@ -10,6 +10,7 @@ every ``i_print`` iters so the device never stalls on the host.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Optional
@@ -390,6 +391,12 @@ def train(cfg: TrainConfig):
     scene = load_scene(cfg)
     H, W, focal = scene.hwf
     rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near, scene.far)
+    # Eval-render variant: --render_int8 only ever binds here, so training
+    # math (incl. the no-grad patch render feeding the perceptual losses)
+    # stays bf16 while i_img/i_testset/i_video/render_only frames take the
+    # quantized serving kernel.
+    rcfg_r = dataclasses.replace(rcfg, render_int8=True) \
+        if cfg.render_int8 else rcfg
 
     expdir = os.path.join(cfg.basedir, cfg.expname)
     os.makedirs(expdir, exist_ok=True)
@@ -487,7 +494,7 @@ def train(cfg: TrainConfig):
         savedir = os.path.join(expdir, f"renderonly_{tag}_{start:06d}")
         os.makedirs(savedir, exist_ok=True)
         rgbs, disps = render_path(models, state.params, poses, scene.hwf,
-                                  rcfg, savedir, cfg.render_factor)
+                                  rcfg_r, savedir, cfg.render_factor)
         _write_videos(savedir, "", rgbs, disps)
         print("Done rendering", savedir)
         return state
@@ -544,7 +551,7 @@ def train(cfg: TrainConfig):
         pass
 
     print(f"TRAIN views: {list(scene.i_train)}  TEST views: {list(scene.i_test)}")
-    warm_ex = _prewarm_async(cfg, plan, models, rcfg, scene, state, rgb_table,
+    warm_ex = _prewarm_async(cfg, plan, models, rcfg_r, scene, state, rgb_table,
                              depth_table, patch_source, vgg_params, rng,
                              k_max, start)
     if cfg.profile_dir:
@@ -594,8 +601,8 @@ def train(cfg: TrainConfig):
             testdir = os.path.join(expdir, f"testset_{i:06d}")
             os.makedirs(testdir, exist_ok=True)
             rgbs, _ = render_path(models, state.params,
-                                  scene.poses[scene.i_test], scene.hwf, rcfg,
-                                  testdir)
+                                  scene.poses[scene.i_test], scene.hwf,
+                                  rcfg_r, testdir)
             gts = scene.images[scene.i_test]
             t_psnr = float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
             t_ssim = float(np.mean([ssim_np(r, g) for r, g in zip(rgbs, gts)]))
@@ -615,7 +622,7 @@ def train(cfg: TrainConfig):
             img_i = int(host_rng.choice(scene.i_test))
             out = render_image(models.coarse, models.fine, state.params,
                                H, W, focal, jnp.asarray(scene.poses[img_i]),
-                               rcfg)
+                               rcfg_r)
             rgb = np.asarray(out["rgb_map"])
             writer.add_image("Images/rgb_holdout", losses.to8b(rgb), i,
                              dataformats="HWC")
@@ -629,7 +636,7 @@ def train(cfg: TrainConfig):
 
         if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
             rgbs, disps = render_path(models, state.params, scene.render_poses,
-                                      scene.hwf, rcfg)
+                                      scene.hwf, rcfg_r)
             _write_videos(expdir, f"{cfg.expname}_spiral_{i:06d}_", rgbs, disps)
 
         i += 1

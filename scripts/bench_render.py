@@ -25,10 +25,15 @@ def main():
 
     H = W = int(os.environ.get("BENCH_RES", 400))
     n = int(os.environ.get("BENCH_FRAMES", 5))
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
     cfg = TrainConfig(N_samples=64, N_importance=64, netdepth=4, netwidth=256,
                       netdepth_fine=4, netwidth_fine=256, use_viewdirs=True,
                       no_ndc=True, compute_dtype="bfloat16")
     rcfg = render_config_from(cfg, 0, 2.0, 6.0)
+    if int8:  # BENCH_INT8=1: the quantized W8A8 serving forward
+        import dataclasses
+
+        rcfg = dataclasses.replace(rcfg, render_int8=True)
     models = build_models(cfg, rcfg)
     state = init_train_state(cfg, rcfg, models, jax.random.key(0))
 
@@ -53,7 +58,7 @@ def main():
     dt = (time.perf_counter() - t0) / n
 
     print(json.dumps({
-        "metric": f"render_fps_{H}x{W}",
+        "metric": f"render_fps_{H}x{W}" + ("_int8" if int8 else ""),
         "value": round(1.0 / dt, 3),
         "unit": "fps",
         "rays_per_sec": round(H * W / dt, 1),
