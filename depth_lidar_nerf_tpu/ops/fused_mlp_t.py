@@ -1747,7 +1747,9 @@ def _pack_params_q8(params, depth, n_p, n_v, dtype, skips=()):
 
 def _forward_tile_q8(spec, xt, vt, ws):
     """One tile of the quantized serving forward (cf. :func:`_forward_tile`;
-    same math modulo int8 rounding on the wide matmuls)."""
+    same math modulo int8 rounding on the wide matmuls). Returns
+    ``(raw [4, T], feat [T, W])`` — the feature feeds the (bf16) semantic
+    head in the semantic variant."""
     depth, dtype, S, R = spec[:4]
     (w1, b1, twq, tb, sw, wfsq, bfs, wsig, wvfq, wve, bv, wr, br, sc) = ws
     W = wfsq.shape[0]
@@ -1774,7 +1776,7 @@ def _forward_tile_q8(spec, xt, vt, ws):
 
     rgbT = jax.lax.dot_general(wr, hv, (((0,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    return rgbT + sigT + br
+    return rgbT + sigT + br, feat
 
 
 def _unflatten_q8(flat, depth, skips=()):
@@ -1787,7 +1789,23 @@ def _unflatten_q8(flat, depth, skips=()):
 def _fwd_kernel_q8(spec, xt_ref, vt_ref, *refs):
     out_ref = refs[-1]
     ws = _unflatten_q8([r[:] for r in refs[:-1]], spec[0], _spec_skips(spec))
-    out_ref[:] = _forward_tile_q8(spec, xt_ref[:], vt_ref[:], ws)
+    out_ref[:], _ = _forward_tile_q8(spec, xt_ref[:], vt_ref[:], ws)
+
+
+def _fwd_kernel_q8_sem(spec, xt_ref, vt_ref, *refs):
+    """Quantized semantic serving forward: raw + ray-summed logits. The
+    affine head itself stays bf16 (it runs on [R, W] per-ray feature sums —
+    S-fold fewer rows, so int8 would save nothing)."""
+    depth, dtype, S, R = spec[:4]
+    skips = _spec_skips(spec)
+    n_w = _n_ws(depth, skips) + 1  # + the stacked scale matrix
+    w_refs = refs[:n_w]
+    sem_refs = refs[n_w:n_w + 4]
+    raw_ref, sem_ref = refs[n_w + 4:]
+    ws = _unflatten_q8([r[:] for r in w_refs], depth, skips)
+    out, feat = _forward_tile_q8(spec, xt_ref[:], vt_ref[:], ws)
+    raw_ref[:] = out
+    sem_ref[:] = _sem_head_tile(feat, [r[:] for r in sem_refs], R, S, dtype)
 
 
 def _fwd_impl_q8(params, xt, vt_f, spec):
@@ -1813,8 +1831,37 @@ def _fwd_impl_q8(params, xt, vt_f, spec):
     )(xt, vt_f, *ws)
 
 
+def _fwd_impl_q8_sem(params, xt, vt_f, spec):
+    depth, dtype, S, tile_f, n_p, n_v, C = spec[:7]
+    skips = spec[7] if len(spec) > 7 else ()
+    R = tile_f // S
+    ws = _pack_params_q8(params, depth, n_p, n_v, dtype, skips)
+    sem_ws = _pack_sem(params, dtype)
+    P = xt.shape[1]
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_q8_sem, (depth, dtype, S, R, skips)),
+        grid=(P // tile_f,),
+        in_specs=[
+            pl.BlockSpec((3, tile_f), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[_full_spec(w.shape) for w in ws],
+            *[_full_spec(w.shape) for w in sem_ws],
+        ],
+        out_specs=(pl.BlockSpec((4, tile_f), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((R, C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((4, P), jnp.float32),
+                   jax.ShapeDtypeStruct((P // S, C), jnp.float32)),
+        compiler_params=_cparams(),
+        interpret=interpret_mode(),
+    )(xt, vt_f, *ws, *sem_ws)
+
+
 def _apply_rays_q8_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
-                        width, multires, multires_views, dtype, skips=()):
+                        width, multires, multires_views, dtype, skips=(),
+                        num_classes=0):
     N, S = z_vals.shape
     skips = _live_skips(depth, skips)
     tile_f = _fwd_tile_size(S)
@@ -1829,6 +1876,12 @@ def _apply_rays_q8_core(params, rays_o, rays_d, viewdirs, z_vals, *, depth,
     dt_ = rays_d.astype(jnp.float32).T[:, :, None]
     ptsT = (ot + dt_ * z_vals.astype(jnp.float32)[None]).reshape(3, n_full * S)
     vt_f = _build_vt(viewdirs.astype(jnp.float32).T, n_full, S, tile_f)
+    if num_classes > 0:
+        spec = (depth, dtype, S, tile_f, multires, multires_views,
+                num_classes, skips)
+        raw, sem = _fwd_impl_q8_sem(params, ptsT, vt_f, spec)
+        out = raw.reshape(4, n_full, S)
+        return (out[:, :N], sem[:N]) if n_pad else (out, sem)
     spec = (depth, dtype, S, tile_f, multires, multires_views, skips)
     out = _fwd_impl_q8(params, ptsT, vt_f, spec).reshape(4, n_full, S)
     return out[:, :N] if n_pad else out
@@ -1859,3 +1912,34 @@ def fused_nerf_apply_rays_q8(params, rays_o, rays_d, viewdirs, z_vals, *,
                                depth=depth, width=width, multires=multires,
                                multires_views=multires_views, dtype=dtype,
                                skips=skips)
+
+
+def fused_nerf_apply_rays_semantic_q8(params, rays_o, rays_d, viewdirs,
+                                      z_vals, *, depth, width, multires,
+                                      multires_views, dtype=jnp.bfloat16,
+                                      mesh=None, ray_axis="rays", skips=()):
+    """Quantized semantic serving forward: (raw [4, N, S], ray-summed
+    semantic logits [N, C]). EVAL ONLY (no VJP). The trunk runs W8A8 like
+    :func:`fused_nerf_apply_rays_q8`; the affine semantic head stays bf16 on
+    per-ray feature sums (cf. :func:`_sem_head_tile`). No activation dump —
+    unlike the train-time semantic path this has no HBM byte cap."""
+    p = params["params"] if "params" in params else params
+    num_classes = p["semantic_1"]["kernel"].shape[1]
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P_
+
+        core = functools.partial(
+            _apply_rays_q8_core, depth=depth, width=width, multires=multires,
+            multires_views=multires_views, dtype=dtype, skips=skips,
+            num_classes=num_classes)
+        return jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(P_(), P_(ray_axis), P_(ray_axis), P_(ray_axis),
+                      P_(ray_axis)),
+            out_specs=(P_(None, ray_axis), P_(ray_axis)),
+            check_vma=False,
+        )(params, rays_o, rays_d, viewdirs, z_vals)
+    return _apply_rays_q8_core(params, rays_o, rays_d, viewdirs, z_vals,
+                               depth=depth, width=width, multires=multires,
+                               multires_views=multires_views, dtype=dtype,
+                               skips=skips, num_classes=num_classes)

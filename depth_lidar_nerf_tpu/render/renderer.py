@@ -59,10 +59,11 @@ class RenderConfig:
     # weight, making their cotangents exactly zero so the fused kernels'
     # backward skips their FLOPs. 0.0 = strict reference semantics.
     cull_eps: float = 0.0
-    # Quantized (W8A8 int8-MXU) serving forward for pure render calls
-    # (TPU-native, no reference counterpart). The train loop only sets this
-    # on the RenderConfig it hands to eval renders — the int8 kernel has no
-    # VJP and must never sit inside a loss.
+    # Quantized (W8A8 int8-MXU) serving forward for pure render calls,
+    # incl. semantic renders (quantized trunk + bf16 affine head). TPU-native,
+    # no reference counterpart. The train loop only sets this on the
+    # RenderConfig it hands to eval renders — the int8 kernels have no VJP
+    # and must never sit inside a loss.
     render_int8: bool = False
 
     def render_tile(self, fused: bool = False) -> int:
@@ -171,17 +172,26 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
     from depth_lidar_nerf_tpu.ops.fused_mlp_t import supports_rays_shape
 
     S = z_vals.shape[-1]
+    # The int8 serving path saves no activations, so only the topology
+    # predicate gates it (n_points=0 skips the acts-HBM byte cap).
+    int8_sem = (cfg.render_int8 and hasattr(model, "apply_rays_semantic_q8"))
     if (cfg.num_semantic_classes > 0
             and hasattr(model, "apply_rays_semantic")
             and rays.viewdirs is not None and supports_rays_shape(S)
             and model.supports_raw_semantic(
-                params, cfg, n_points=z_vals.shape[0] * S, S=S)
+                params, cfg,
+                n_points=0 if int8_sem else z_vals.shape[0] * S, S=S)
             and (not hasattr(model, "rays_ok")
                  or model.rays_ok(z_vals.shape[0]))):
         # Semantic fast path: kernel raw + IN-KERNEL semantic head
         # (run_nerf_helpers.py:109) already composited as the reference's
         # UNWEIGHTED sum over samples (:589) — sem_map is [N, C] f32.
-        raw_t, sem_map = model.apply_rays_semantic(params, rays, z_vals, cfg)
+        if int8_sem:
+            raw_t, sem_map = model.apply_rays_semantic_q8(
+                params, rays, z_vals, cfg)
+        else:
+            raw_t, sem_map = model.apply_rays_semantic(
+                params, rays, z_vals, cfg)
         noise = None
         if cfg.raw_noise_std > 0.0 and noise_rng is not None:
             noise = jax.random.normal(
@@ -260,9 +270,11 @@ def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
         if hasattr(m, "rays_ok") and not m.rays_ok(tile):
             return False
         if cfg.num_semantic_classes > 0:
+            int8_sem = (cfg.render_int8
+                        and hasattr(m, "apply_rays_semantic_q8"))
             return (hasattr(m, "apply_rays_semantic")
-                    and m.supports_raw_semantic(p, cfg, n_points=tile * S,
-                                                S=S))
+                    and m.supports_raw_semantic(
+                        p, cfg, n_points=0 if int8_sem else tile * S, S=S))
         return (hasattr(m, "apply_rays")
                 and hasattr(m, "supports_raw")
                 and getattr(m, "supports_rays_path", m.supports_raw)(p, cfg))

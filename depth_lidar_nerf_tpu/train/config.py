@@ -160,7 +160,7 @@ class TrainConfig:
     # Quantized (W8A8, int8 MXU) forward for EVAL renders only — i_img /
     # i_testset / i_video / render_only frames. Training math (including the
     # no-grad patch render that feeds the perceptual losses) stays bf16.
-    # Semantic renders fall back to the bf16 kernels (no int8 head).
+    # Semantic renders run the quantized trunk with a bf16 affine head.
     render_int8: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
     debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)

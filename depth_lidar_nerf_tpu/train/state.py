@@ -150,6 +150,17 @@ class FusedMLP:
             dtype=self.module.dtype, mesh=self.mesh,
             skips=self.module.skips)
 
+    def apply_rays_semantic_q8(self, params, rays, z_vals, cfg):
+        """Quantized semantic serving forward — eval renders only, no VJP."""
+        from depth_lidar_nerf_tpu.ops import fused_mlp_t
+
+        return fused_mlp_t.fused_nerf_apply_rays_semantic_q8(
+            params, rays.origins, rays.directions, rays.viewdirs, z_vals,
+            depth=self.module.depth, width=self.module.width,
+            multires=cfg.multires, multires_views=cfg.multires_views,
+            dtype=self.module.dtype, mesh=self.mesh,
+            skips=self.module.skips)
+
 
 class FrozenAlphaMLP:
     """The NeRF_RGB variant (run_nerf_helpers.py:176-260): density comes from

@@ -2,8 +2,9 @@
 
 The quantized path trades ~2% worst-case raw-output error (measured: max
 0.020, mean 0.002 on O(1)-range outputs at D=4/W=64) for int8-MXU matmuls;
-these tests pin that tolerance, the topology coverage, and the renderer's
-``render_int8`` dispatch gating (eval renders only, semantic falls back).
+these tests pin that tolerance, the topology coverage (incl. the semantic
+variant), and the renderer's ``render_int8`` dispatch gating (eval renders
+only).
 """
 
 import numpy as np
@@ -152,3 +153,83 @@ def test_train_loop_only_int8s_eval_renders(tmp_path):
     assert rcfg.render_int8 is False  # training rcfg stays bf16
     rcfg_r = dataclasses.replace(rcfg, render_int8=True)
     assert rcfg_r.render_int8 is True
+
+
+def _setup_sem(depth=4, width=64, mr=10, mrv=4, N=8, S=128, C=4, skips=(4,)):
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+
+    model = NeRFMLP(depth=depth, width=width, in_channels=3 + 6 * mr,
+                    in_channels_views=3 + 6 * mrv, num_semantic_classes=C,
+                    skips=skips, dtype=jnp.float32)
+    k = jax.random.key(0)
+    ro = jax.random.normal(k, (N, 3))
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(jax.random.fold_in(k, 2), (N, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    pe = positional_encoding(pts, mr)
+    ve = positional_encoding(vd, mrv)
+    veb = jnp.broadcast_to(ve[:, None, :], (N, S, ve.shape[-1]))
+    params = model.init(jax.random.key(1), pe[:1, :1], veb[:1, :1])
+    return model, params, (ro, rd, vd, z, pts, pe, veb)
+
+
+@pytest.mark.parametrize("depth,skips", [(4, ()), (8, (4,))])
+def test_q8_semantic_matches_flax_within_tolerance(depth, skips):
+    """Quantized semantic serving forward: raw within the quantization band
+    and ray-summed logits within its S-amplified version (the unweighted sum
+    over S samples scales absolute error by ~S)."""
+    from depth_lidar_nerf_tpu.ops.fused_mlp_t import (
+        fused_nerf_apply_rays_semantic_q8)
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem(depth=depth,
+                                                              skips=skips)
+    ref = np.asarray(model.apply(params, pe, veb))  # [N, S, 4 + C]
+    sem_ray_ref = ref[..., 4:].astype(np.float64).sum(axis=1)
+    raw, sem = fused_nerf_apply_rays_semantic_q8(
+        params, ro, rd, vd, z, depth=depth, width=64, multires=10,
+        multires_views=4, dtype=jnp.float32, skips=skips)
+    err = np.abs(np.asarray(raw).transpose(1, 2, 0) - ref[..., :4])
+    assert err.max() < 0.05, err.max()
+    sem_err = np.abs(np.asarray(sem) - sem_ray_ref)
+    S = z.shape[1]
+    assert sem_err.max() < 0.05 * S, sem_err.max()
+
+
+def test_render_int8_semantic_dispatch(monkeypatch):
+    """render_int8 + semantic classes routes through apply_rays_semantic_q8
+    (no acts byte cap: n_points=0) and matches the bf16 semantic render."""
+    from depth_lidar_nerf_tpu.render.renderer import (
+        RenderConfig, Rays, _composite_from_z)
+    from depth_lidar_nerf_tpu.train.state import FusedMLP
+
+    model, params, (ro, rd, vd, z, pts, pe, veb) = _setup_sem(N=16, skips=())
+    rays = Rays(ro, rd, vd, jnp.full((16, 1), 2.0), jnp.full((16, 1), 6.0))
+    fused = FusedMLP(model)
+    # force the fused predicates on the CPU backend for this test
+    fused.supports_raw_semantic = lambda p, c, n_points=0, S=0: True
+
+    calls = {"q8": 0}
+    orig = FusedMLP.apply_rays_semantic_q8
+
+    def counting(self, *a, **k):
+        calls["q8"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(FusedMLP, "apply_rays_semantic_q8", counting)
+
+    base = dict(N_samples=128, N_importance=0, perturb=False,
+                raw_noise_std=0.0, ndc=False, near=2.0, far=6.0,
+                multires=10, multires_views=4, num_semantic_classes=4)
+    out_q8 = _composite_from_z(fused, params, rays, z,
+                               RenderConfig(**base, render_int8=True), None)
+    assert calls["q8"] == 1
+    out_bf = _composite_from_z(fused, params, rays, z,
+                               RenderConfig(**base), None)
+    assert calls["q8"] == 1
+    np.testing.assert_allclose(np.asarray(out_q8.rgb),
+                               np.asarray(out_bf.rgb), atol=0.03)
+    np.testing.assert_allclose(np.asarray(out_q8.semantic),
+                               np.asarray(out_bf.semantic), atol=0.05 * 128)
