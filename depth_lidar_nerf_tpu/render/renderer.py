@@ -65,6 +65,12 @@ class RenderConfig:
     # RenderConfig it hands to eval renders — the int8 kernels have no VJP
     # and must never sit inside a loss.
     render_int8: bool = False
+    # Baked-density-grid serving (ops/density_grid.py): when > 0 AND the
+    # render params carry a baked ``density_grid`` entry, the coarse MLP pass
+    # is replaced by a trilinear sigma lookup at this grid resolution — the
+    # fine pass (the visible image) still runs the full MLP. Serving-only;
+    # the value is the bake resolution R and doubles as the on/off switch.
+    render_grid: int = 0
 
     def render_tile(self, fused: bool = False) -> int:
         """Ray-tile size for :func:`render_rays_tiled` honoring both knobs.
@@ -249,6 +255,29 @@ def _composite_from_z(model, params, rays: Rays, z_vals, cfg: RenderConfig,
         cull_eps=cfg.cull_eps)
 
 
+def _composite_from_grid(grid3, rays: Rays, z_vals, cfg: RenderConfig):
+    """Serving coarse pass from a baked sigma grid (ops/density_grid.py).
+
+    Trilinear raw-sigma lookup at the coarse sample points, composited with
+    the standard math so the resulting ``weights`` drive ``sample_pdf``
+    exactly like an MLP coarse pass would. The coarse RGB is a constant
+    black (sigmoid(-20) ~ 0) — the fine pass renders the visible image.
+    No noise: the grid path is eval-only.
+    """
+    from depth_lidar_nerf_tpu.ops.compositing import raw2outputs_t
+    from depth_lidar_nerf_tpu.ops.density_grid import trilinear_sigma
+
+    grid, lo, hi = grid3
+    pts = (rays.origins[..., None, :]
+           + rays.directions[..., None, :] * z_vals[..., :, None])
+    sigma = trilinear_sigma(grid, lo, hi, pts)  # [N, S] raw (pre-ReLU)
+    raw_t = jnp.concatenate(
+        [jnp.full((3,) + sigma.shape, -20.0, jnp.float32), sigma[None]],
+        axis=0)
+    return raw2outputs_t(raw_t, z_vals, rays.directions,
+                         white_bkgd=cfg.white_bkgd, cull_eps=cfg.cull_eps)
+
+
 def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
                      tile: int) -> bool:
     """True when every pass of a ``tile``-ray render dispatches to the fused
@@ -313,9 +342,16 @@ def render_rays(
     )
     import os as _os
 
-    coarse = _composite_from_z(
-        model, params["coarse"], rays, z_vals, cfg, k_noise_c,
-        save_acts=_os.environ.get("DLNERF_ACTS_COARSE", "0") == "1")
+    grid = (params.get("density_grid")
+            if cfg.render_grid > 0 and hasattr(params, "get") else None)
+    if grid is not None:
+        # Serving: coarse sample placement from the baked sigma grid — no
+        # coarse MLP pass at all (ops/density_grid.py).
+        coarse = _composite_from_grid(grid, rays, z_vals, cfg)
+    else:
+        coarse = _composite_from_z(
+            model, params["coarse"], rays, z_vals, cfg, k_noise_c,
+            save_acts=_os.environ.get("DLNERF_ACTS_COARSE", "0") == "1")
 
     ret = {
         "rgb_map": coarse.rgb, "disp_map": coarse.disp, "acc_map": coarse.acc,
@@ -363,7 +399,12 @@ def render_rays(
             "z_std": jnp.std(z_samples, axis=-1),
         })
         if fine.semantic is not None:
-            ret["sem_preds0"] = coarse.semantic
+            # The baked-grid coarse pass has no semantic head; eval renders
+            # only consume the fine maps, so a zero stand-in keeps the
+            # output pytree shape stable.
+            ret["sem_preds0"] = (coarse.semantic
+                                 if coarse.semantic is not None
+                                 else jnp.zeros_like(fine.semantic))
             ret["sem_preds"] = fine.semantic
     return ret
 

@@ -162,6 +162,12 @@ class TrainConfig:
     # no-grad patch render that feeds the perceptual losses) stays bf16.
     # Semantic renders run the quantized trunk with a bf16 affine head.
     render_int8: bool = False
+    # Baked-density-grid serving (--render_only): bake the trained fine
+    # model's sigma field onto an R^3 grid once, then replace the coarse MLP
+    # pass of every rendered frame with a trilinear lookup (the fine pass
+    # still runs the full MLP). 0 = off; e.g. 192 for a 192^3 bake.
+    # Composes with render_int8.
+    render_grid: int = 0
     profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
     debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)
 

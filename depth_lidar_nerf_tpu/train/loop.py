@@ -178,6 +178,48 @@ def render_path(models: Models, params, render_poses, hwf, cfg_render,
     return np.stack(rgbs), np.stack(disps)
 
 
+def _bake_render_grid(cfg: TrainConfig, rcfg, models: Models, params,
+                      render_poses, hwf):
+    """--render_grid serving bake: returns (params + density_grid, rcfg with
+    render_grid set). Bounds come from the corner+center rays of every pose
+    being rendered (in the same — possibly NDC-warped — space the renderer
+    samples in); sigma is baked from the FINE model, which also places the
+    fine samples in a full render."""
+    from depth_lidar_nerf_tpu.ops.density_grid import (bake_density_grid,
+                                                       frustum_bounds)
+    from depth_lidar_nerf_tpu.ops.rays import camera_rays
+    from depth_lidar_nerf_tpu.render.renderer import make_rays
+
+    H, W, focal = hwf
+    if cfg.render_factor:
+        H, W, focal = (H // cfg.render_factor, W // cfg.render_factor,
+                       focal / cfg.render_factor)
+    H, W = int(H), int(W)
+    picks = [(0, 0), (0, W - 1), (H - 1, 0), (H - 1, W - 1),
+             (H // 2, W // 2)]
+    ro_all, rd_all = [], []
+    for c2w in np.asarray(render_poses):
+        ro, rd = camera_rays(H, W, focal, jnp.asarray(c2w[:3, :4]))
+        for (r, c) in picks:
+            ro_all.append(np.asarray(ro[r, c]))
+            rd_all.append(np.asarray(rd[r, c]))
+    rays = make_rays(jnp.asarray(np.stack(ro_all)),
+                     jnp.asarray(np.stack(rd_all)), rcfg, H, W, focal)
+    lo, hi = frustum_bounds(rays.origins, rays.directions,
+                            rcfg.near, rcfg.far)
+    fine_model = models.fine if models.fine is not None else models.coarse
+    fine_params = params["fine"] if "fine" in params else params["coarse"]
+    t0 = time.time()
+    grid3 = bake_density_grid(fine_model, fine_params, rcfg, lo, hi,
+                              cfg.render_grid)
+    jax.block_until_ready(grid3[0])
+    print(f"baked {cfg.render_grid}^3 density grid in {time.time() - t0:.1f}s"
+          f" (bounds {np.round(lo, 2)} .. {np.round(hi, 2)})")
+    out = dict(params)
+    out["density_grid"] = grid3
+    return out, dataclasses.replace(rcfg, render_grid=cfg.render_grid)
+
+
 def _validate_flags(cfg: TrainConfig) -> None:
     """Reject / warn on flags that would otherwise silently no-op.
 
@@ -493,8 +535,15 @@ def train(cfg: TrainConfig):
             tag = "path"
         savedir = os.path.join(expdir, f"renderonly_{tag}_{start:06d}")
         os.makedirs(savedir, exist_ok=True)
-        rgbs, disps = render_path(models, state.params, poses, scene.hwf,
-                                  rcfg_r, savedir, cfg.render_factor)
+        render_params = state.params
+        rcfg_ro = rcfg_r
+        if cfg.render_grid > 0:
+            # Serving accelerator: bake the fine model's sigma field once,
+            # then every frame's coarse pass is a trilinear lookup.
+            render_params, rcfg_ro = _bake_render_grid(
+                cfg, rcfg_r, models, state.params, poses, scene.hwf)
+        rgbs, disps = render_path(models, render_params, poses, scene.hwf,
+                                  rcfg_ro, savedir, cfg.render_factor)
         _write_videos(savedir, "", rgbs, disps)
         print("Done rendering", savedir)
         return state

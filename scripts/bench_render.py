@@ -34,8 +34,25 @@ def main():
         import dataclasses
 
         rcfg = dataclasses.replace(rcfg, render_int8=True)
+    grid_res = int(os.environ.get("BENCH_GRID", 0))
     models = build_models(cfg, rcfg)
     state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+
+    params = state.params
+    if grid_res:  # BENCH_GRID=R: baked-density-grid coarse pass
+        import dataclasses
+
+        from depth_lidar_nerf_tpu.ops.density_grid import (bake_density_grid,
+                                                           frustum_bounds)
+        from depth_lidar_nerf_tpu.ops.rays import camera_rays
+
+        rcfg = dataclasses.replace(rcfg, render_grid=grid_res)
+        ro, rd = camera_rays(H, W, 0.9 * W, jnp.eye(4)[:3])
+        lo, hi = frustum_bounds(ro[:: H - 1, :: W - 1], rd[:: H - 1, :: W - 1],
+                                rcfg.near, rcfg.far)
+        params = dict(params)
+        params["density_grid"] = bake_density_grid(
+            models.fine, state.params["fine"], rcfg, lo, hi, grid_res)
 
     @jax.jit
     def frame(p, c2w):
@@ -48,17 +65,18 @@ def main():
         return img, c2w.at[0, 3].add(img[0, 0, 0] * 1e-8)
 
     c2w = jnp.eye(4)[:3]
-    img, c2w = frame(state.params, c2w)
+    img, c2w = frame(params, c2w)
     _ = float(img[0, 0, 0])  # warm + honest barrier
 
     t0 = time.perf_counter()
     for i in range(n):
-        img, c2w = frame(state.params, c2w)
+        img, c2w = frame(params, c2w)
     _ = float(img[0, 0, 0])
     dt = (time.perf_counter() - t0) / n
 
     print(json.dumps({
-        "metric": f"render_fps_{H}x{W}" + ("_int8" if int8 else ""),
+        "metric": (f"render_fps_{H}x{W}" + ("_int8" if int8 else "")
+                   + (f"_grid{grid_res}" if grid_res else "")),
         "value": round(1.0 / dt, 3),
         "unit": "fps",
         "rays_per_sec": round(H * W / dt, 1),

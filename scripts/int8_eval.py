@@ -1,15 +1,17 @@
-"""Measure the int8 (W8A8) serving path on a TRAINED model: speed + quality.
+"""Measure the serving paths on a TRAINED model: speed + quality A/B.
 
 Trains the flagship-shape model (netdepth 4 / width 256 / 64+64 samples,
 bf16) on the deterministic synthetic scene for a short run, then renders the
-held-out view with the bf16 kernels and the quantized serving kernels and
-reports one JSON line: per-frame times, PSNR of each render against the
-ground truth, and PSNR of int8 against bf16 (the quantization noise floor).
+held-out view through four serving configurations — bf16, int8 (W8A8
+kernels), baked-density-grid coarse pass, and grid+int8 — and reports one
+JSON line: per-frame times, PSNR of each render against the ground truth,
+and PSNR against the bf16 render (the serving-path noise floor).
 
     python scripts/int8_eval.py            # ~2k iters train + A/B render
 
 Env: INT8_EVAL_ITERS (default 2000), INT8_EVAL_FRAMES (default 5 timed
-frames per leg).
+frames per leg), INT8_EVAL_GRID (bake resolution, default 192; 0 skips the
+grid legs). Extra argv entries pass through as trainer flag overrides.
 """
 
 from __future__ import annotations
@@ -68,32 +70,48 @@ def main():
                               scene.near, scene.far)
     models = build_models(cfg, rcfg)
 
-    def leg(rc, tag):
-        out = render_image(models.coarse, models.fine, state.params,
+    def leg(rc, params):
+        out = render_image(models.coarse, models.fine, params,
                            H, W, focal, pose, rc)
         rgb = np.asarray(out["rgb_map"])
         _ = float(rgb[0, 0, 0])
         t0 = time.perf_counter()
         for _i in range(frames):
-            out = render_image(models.coarse, models.fine, state.params,
+            out = render_image(models.coarse, models.fine, params,
                                H, W, focal, pose, rc)
             jax.block_until_ready(out["rgb_map"])
         dt = (time.perf_counter() - t0) / frames
         return rgb, dt
 
-    rgb_bf, dt_bf = leg(rcfg, "bf16")
-    rgb_q8, dt_q8 = leg(dataclasses.replace(rcfg, render_int8=True), "int8")
+    legs = {"bf16": (rcfg, state.params),
+            "int8": (dataclasses.replace(rcfg, render_int8=True),
+                     state.params)}
 
-    print(json.dumps({
-        "metric": "int8_render_ab",
-        "iters": iters,
-        "frame_ms_bf16": round(dt_bf * 1e3, 2),
-        "frame_ms_int8": round(dt_q8 * 1e3, 2),
-        "speedup": round(dt_bf / dt_q8, 3),
-        "psnr_bf16_vs_gt": round(float(psnr_np(rgb_bf, gt)), 2),
-        "psnr_int8_vs_gt": round(float(psnr_np(rgb_q8, gt)), 2),
-        "psnr_int8_vs_bf16": round(float(psnr_np(rgb_q8, rgb_bf)), 2),
-    }))
+    grid_res = int(os.environ.get("INT8_EVAL_GRID", 192))
+    if grid_res:
+        from depth_lidar_nerf_tpu.train.loop import _bake_render_grid
+
+        gp, grc = _bake_render_grid(
+            cfg.replace(render_grid=grid_res), rcfg, models, state.params,
+            scene.poses[scene.i_test[:1]], scene.hwf)
+        legs["grid"] = (grc, gp)
+        legs["grid_int8"] = (dataclasses.replace(grc, render_int8=True), gp)
+
+    result = {"metric": "serving_render_ab", "iters": iters,
+              "grid_res": grid_res}
+    rgb_bf = None
+    for tag, (rc, params) in legs.items():
+        rgb, dt = leg(rc, params)
+        if rgb_bf is None:
+            rgb_bf = rgb
+        result[f"frame_ms_{tag}"] = round(dt * 1e3, 2)
+        result[f"psnr_{tag}_vs_gt"] = round(float(psnr_np(rgb, gt)), 2)
+        if tag != "bf16":
+            result[f"psnr_{tag}_vs_bf16"] = round(
+                float(psnr_np(rgb, rgb_bf)), 2)
+            result[f"speedup_{tag}"] = round(
+                result["frame_ms_bf16"] / result[f"frame_ms_{tag}"], 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

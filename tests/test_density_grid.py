@@ -1,0 +1,158 @@
+"""Baked-density-grid serving path (ops/density_grid.py).
+
+The grid replaces the coarse MLP pass of eval renders with a trilinear
+raw-sigma lookup; the fine pass is untouched. These tests pin the trilinear
+math (exact for (tri)linear fields), the bake's agreement with the model it
+baked from, and the render_rays dispatch + tolerance against a full render.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_trilinear_exact_at_voxel_centers():
+    from depth_lidar_nerf_tpu.ops.density_grid import trilinear_sigma
+
+    R = 5
+    grid = jax.random.normal(jax.random.key(0), (R, R, R))
+    lo = jnp.array([-1.0, 0.0, 2.0])
+    hi = jnp.array([1.0, 3.0, 4.0])
+    axes = [jnp.linspace(lo[i], hi[i], R) for i in range(3)]
+    pts = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    got = trilinear_sigma(grid, lo, hi, pts)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(grid).reshape(-1), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_trilinear_reproduces_linear_field_and_clamps():
+    """A linear function sampled onto the grid interpolates exactly at any
+    interior point; out-of-bounds points clamp to the boundary value."""
+    from depth_lidar_nerf_tpu.ops.density_grid import trilinear_sigma
+
+    R = 9
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3) * 2.0
+    axes = [jnp.linspace(0.0, 2.0, R)] * 3
+    g = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), -1)
+    grid = 0.5 * g[..., 0] - 1.25 * g[..., 1] + 2.0 * g[..., 2] + 0.75
+
+    pts = jax.random.uniform(jax.random.key(1), (256, 3), minval=0.0,
+                             maxval=2.0)
+    want = 0.5 * pts[:, 0] - 1.25 * pts[:, 1] + 2.0 * pts[:, 2] + 0.75
+    got = trilinear_sigma(grid, lo, hi, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
+
+    far_out = jnp.array([[9.0, 9.0, 9.0], [-5.0, -5.0, -5.0]])
+    got_oob = np.asarray(trilinear_sigma(grid, lo, hi, far_out))
+    np.testing.assert_allclose(got_oob[0], float(grid[-1, -1, -1]), rtol=1e-5)
+    np.testing.assert_allclose(got_oob[1], float(grid[0, 0, 0]), rtol=1e-5)
+
+
+def _tiny_model(depth=2, width=32, mr=4, mrv=2):
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+
+    model = NeRFMLP(depth=depth, width=width, in_channels=3 + 6 * mr,
+                    in_channels_views=3 + 6 * mrv, dtype=jnp.float32)
+    pe = jnp.zeros((1, 3 + 6 * mr))
+    ve = jnp.zeros((1, 3 + 6 * mrv))
+    params = model.init(jax.random.key(1), pe, ve)
+    return model, params
+
+
+def test_bake_matches_model_sigma():
+    """Grid values equal the model's raw sigma at the grid points, and the
+    trilinear lookup approaches the model between them."""
+    from depth_lidar_nerf_tpu.ops.density_grid import (bake_density_grid,
+                                                       trilinear_sigma)
+    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+    from depth_lidar_nerf_tpu.render import RenderConfig
+
+    model, params = _tiny_model()
+    cfg = RenderConfig(multires=4, multires_views=2, ndc=False,
+                       near=2.0, far=6.0)
+    lo, hi = np.array([-1.0, -1.0, 2.0]), np.array([1.0, 1.0, 6.0])
+    grid, glo, ghi = bake_density_grid(model, params, cfg, lo, hi, 33)
+    assert grid.shape == (33, 33, 33)
+
+    pts = jax.random.uniform(jax.random.key(2), (128, 3)) * (
+        jnp.asarray(hi) - jnp.asarray(lo)) + jnp.asarray(lo)
+    pe = positional_encoding(pts, cfg.multires)
+    ve = jnp.zeros((128, 3 + 6 * cfg.multires_views))
+    want = np.asarray(model.apply(params, pe, ve)[..., 3])
+    got = np.asarray(trilinear_sigma(grid, glo, ghi, pts))
+    # 33^3 over a smooth random-init field: interpolation error, not bias.
+    assert np.abs(got - want).max() < 0.15
+    assert np.abs(got - want).mean() < 0.02
+
+
+def test_render_rays_grid_dispatch_and_tolerance(monkeypatch):
+    """render_rays with a baked grid: (a) never calls the coarse MLP,
+    (b) the final fine image stays close to the full two-MLP render — the
+    grid only moves the importance-sample placement."""
+    import depth_lidar_nerf_tpu.render.renderer as R
+    from depth_lidar_nerf_tpu.ops.density_grid import (bake_density_grid,
+                                                       frustum_bounds)
+    from depth_lidar_nerf_tpu.render import RenderConfig, Rays, render_rays
+
+    model, params = _tiny_model()
+    cfg = RenderConfig(N_samples=32, N_importance=32, perturb=False,
+                       raw_noise_std=0.0, ndc=False, near=2.0, far=6.0,
+                       multires=4, multires_views=2, render_grid=64)
+    N = 24
+    k = jax.random.key(0)
+    ro = jax.random.normal(k, (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    rays = Rays(ro, rd, rd, jnp.full((N, 1), 2.0), jnp.full((N, 1), 6.0))
+
+    lo, hi = frustum_bounds(ro, rd, 2.0, 6.0)
+    grid3 = bake_density_grid(model, params, cfg, lo, hi, 64)
+    # distinct fine-params OBJECT (same values) so the coarse-call counter
+    # below can use identity
+    p = {"coarse": params, "fine": jax.tree.map(lambda x: x, params)}
+    p_grid = dict(p)
+    p_grid["density_grid"] = grid3
+
+    calls = {"coarse": 0}
+    orig = R._composite_from_z
+
+    def counting(m, prm, *a, **kw):
+        calls["coarse"] += 1 if prm is p["coarse"] else 0
+        return orig(m, prm, *a, **kw)
+
+    full = render_rays(model, model, p, rays, cfg)
+    monkeypatch.setattr(R, "_composite_from_z", counting)
+    fast = render_rays(model, model, p_grid, rays, cfg)
+    assert calls["coarse"] == 0  # the grid replaced the coarse MLP pass
+
+    # sample placement differs slightly; the rendered image must not.
+    np.testing.assert_allclose(np.asarray(fast["rgb_map"]),
+                               np.asarray(full["rgb_map"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(fast["depth_map"]),
+                               np.asarray(full["depth_map"]), atol=0.1)
+    # grid coarse maps exist (weights drive sample_pdf) but rgb0 is black
+    assert float(np.abs(np.asarray(fast["rgb0"])).max()) < 1e-6
+    # without cfg.render_grid the grid entry is ignored
+    import dataclasses
+
+    off = render_rays(model, model, p_grid, rays,
+                      dataclasses.replace(cfg, render_grid=0))
+    assert calls["coarse"] >= 1
+    np.testing.assert_allclose(np.asarray(off["rgb_map"]),
+                               np.asarray(full["rgb_map"]), atol=1e-6)
+
+
+def test_render_only_grid_flag_plumbing(tmp_path):
+    """TrainConfig.render_grid reaches the bake helper and the render config
+    it returns, without touching the training RenderConfig."""
+    from depth_lidar_nerf_tpu.train.config import (TrainConfig,
+                                                   render_config_from)
+
+    cfg = TrainConfig(render_grid=96)
+    rcfg = render_config_from(cfg, 0, 2.0, 6.0)
+    assert rcfg.render_grid == 0  # training rcfg never grids
