@@ -130,6 +130,33 @@ def test_render_only(scene_dir, tmp_path):
     assert "000.png" in files and "000.npz" in files
 
 
+def test_render_only_with_density_grid(scene_dir, tmp_path):
+    """--render_grid serving: bakes once, renders through the grid coarse
+    pass, and the frames stay close to the full two-MLP render."""
+    import imageio.v2 as imageio
+
+    import shutil
+
+    cfg = _tiny_cfg(scene_dir, tmp_path, N_iters=30, i_weights=30)
+    train(cfg)
+    outdir = os.path.join(str(tmp_path), "t", "renderonly_test_000030")
+
+    train(cfg.replace(render_only=True, render_test=True, render_grid=48))
+    grid = imageio.imread(os.path.join(outdir, "000.png")).astype(
+        np.float32) / 255.0
+
+    # full render of the same checkpoint into a fresh basedir
+    cfg_b = cfg.replace(basedir=str(tmp_path) + "_b")
+    shutil.copytree(os.path.join(str(tmp_path), "t", "checkpoints"),
+                    os.path.join(str(tmp_path) + "_b", "t", "checkpoints"))
+    train(cfg_b.replace(render_only=True, render_test=True))
+    full = imageio.imread(os.path.join(
+        str(tmp_path) + "_b", "t", "renderonly_test_000030",
+        "000.png")).astype(np.float32) / 255.0
+    mse = float(np.mean((grid - full) ** 2))
+    assert -10 * np.log10(mse + 1e-12) > 35.0  # grid render ~= full render
+
+
 def test_config_file_roundtrip(tmp_path):
     p = tmp_path / "cfg.txt"
     p.write_text(
