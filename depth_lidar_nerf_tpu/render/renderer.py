@@ -308,7 +308,13 @@ def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
                 and hasattr(m, "supports_raw")
                 and getattr(m, "supports_rays_path", m.supports_raw)(p, cfg))
 
-    if not pass_ok(model, params["coarse"], cfg.N_samples):
+    # Grid serving (render_rays' density_grid branch) never runs the coarse
+    # MLP, so only the fine pass gates the tile policy there.
+    grid_serving = (cfg.render_grid > 0 and cfg.N_importance > 0
+                    and hasattr(params, "get")
+                    and params.get("density_grid") is not None)
+    if not grid_serving and not pass_ok(model, params["coarse"],
+                                        cfg.N_samples):
         return False
     if cfg.N_importance > 0:
         fm = fine_model if fine_model is not None else model
@@ -342,8 +348,11 @@ def render_rays(
     )
     import os as _os
 
+    # Grid serving needs the fine pass to paint the image (the grid coarse
+    # composite has no RGB) — with N_importance=0 fall back to the MLP.
     grid = (params.get("density_grid")
-            if cfg.render_grid > 0 and hasattr(params, "get") else None)
+            if cfg.render_grid > 0 and cfg.N_importance > 0
+            and hasattr(params, "get") else None)
     if grid is not None:
         # Serving: coarse sample placement from the baked sigma grid — no
         # coarse MLP pass at all (ops/density_grid.py).

@@ -187,7 +187,7 @@ def _bake_render_grid(cfg: TrainConfig, rcfg, models: Models, params,
     fine samples in a full render."""
     from depth_lidar_nerf_tpu.ops.density_grid import (bake_density_grid,
                                                        frustum_bounds)
-    from depth_lidar_nerf_tpu.ops.rays import camera_rays
+    from depth_lidar_nerf_tpu.ops.rays import rays_by_coord
     from depth_lidar_nerf_tpu.render.renderer import make_rays
 
     H, W, focal = hwf
@@ -195,16 +195,17 @@ def _bake_render_grid(cfg: TrainConfig, rcfg, models: Models, params,
         H, W, focal = (H // cfg.render_factor, W // cfg.render_factor,
                        focal / cfg.render_factor)
     H, W = int(H), int(W)
-    picks = [(0, 0), (0, W - 1), (H - 1, 0), (H - 1, W - 1),
-             (H // 2, W // 2)]
+    # Corner + center rays of every pose bound the frustum (x = column,
+    # y = row); rays_by_coord avoids materializing full H x W ray grids.
+    coords = jnp.asarray([(0, 0), (W - 1, 0), (0, H - 1), (W - 1, H - 1),
+                          (W // 2, H // 2)], jnp.float32)
     ro_all, rd_all = [], []
     for c2w in np.asarray(render_poses):
-        ro, rd = camera_rays(H, W, focal, jnp.asarray(c2w[:3, :4]))
-        for (r, c) in picks:
-            ro_all.append(np.asarray(ro[r, c]))
-            rd_all.append(np.asarray(rd[r, c]))
-    rays = make_rays(jnp.asarray(np.stack(ro_all)),
-                     jnp.asarray(np.stack(rd_all)), rcfg, H, W, focal)
+        ro, rd = rays_by_coord(H, W, focal, jnp.asarray(c2w[:3, :4]), coords)
+        ro_all.append(ro)
+        rd_all.append(rd)
+    rays = make_rays(jnp.concatenate(ro_all), jnp.concatenate(rd_all),
+                     rcfg, H, W, focal)
     lo, hi = frustum_bounds(rays.origins, rays.directions,
                             rcfg.near, rcfg.far)
     fine_model = models.fine if models.fine is not None else models.coarse
@@ -255,6 +256,17 @@ def _validate_flags(cfg: TrainConfig) -> None:
             f"LPIPS(alex) needs patches >= 31 px per side (the conv/pool "
             f"tap chain collapses below that); got nH={cfg.nH} nW={cfg.nW}. "
             "The torch lpips package fails on such patches too.")
+    if cfg.render_grid > 0 and cfg.N_importance <= 0:
+        raise ValueError(
+            "--render_grid replaces the COARSE pass with a sigma-grid "
+            "lookup and renders the image with the fine pass; with "
+            "N_importance=0 there is no fine pass and every frame would be "
+            "black. Use a fine pass (N_importance > 0) or drop "
+            "--render_grid.")
+    if cfg.render_grid > 0 and not cfg.render_only:
+        print("[config] WARNING: --render_grid only applies to "
+              "--render_only serving; training-time eval renders "
+              "(i_img/i_testset/i_video) keep the full coarse MLP pass.")
     defaults = TrainConfig()
     for name in ("testskip", "shape", "half_res"):
         if getattr(cfg, name) != getattr(defaults, name):

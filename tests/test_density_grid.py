@@ -156,3 +156,16 @@ def test_render_only_grid_flag_plumbing(tmp_path):
     cfg = TrainConfig(render_grid=96)
     rcfg = render_config_from(cfg, 0, 2.0, 6.0)
     assert rcfg.render_grid == 0  # training rcfg never grids
+
+
+def test_render_grid_rejects_no_fine_pass():
+    """--render_grid with N_importance=0 would render black frames (the grid
+    composite has no RGB); _validate_flags must reject it."""
+    from depth_lidar_nerf_tpu.train.config import TrainConfig
+    from depth_lidar_nerf_tpu.train.loop import _validate_flags
+
+    with pytest.raises(ValueError, match="render_grid"):
+        _validate_flags(TrainConfig(render_grid=64, N_importance=0,
+                                    render_only=True))
+    _validate_flags(TrainConfig(render_grid=64, N_importance=64,
+                                render_only=True))  # fine pass present: ok
