@@ -390,3 +390,47 @@ def test_model_parallel_eval_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(out1["rgb_map"]),
                                np.asarray(out2["rgb_map"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_q8_serving_sharded_matches_single_device(monkeypatch):
+    """The int8 serving kernels compose with the 8-device mesh via
+    shard_map: sharded q8 raw == single-device q8 raw (bitwise — same
+    quantization on each shard), for both the plain and semantic variants."""
+    import depth_lidar_nerf_tpu.ops.fused_mlp_t as fmt
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+
+    monkeypatch.setenv("DLNERF_PALLAS_INTERPRET", "1")
+    mr, mrv, N, S = 4, 2, 16, 128
+    kw = dict(depth=2, width=128, multires=mr, multires_views=mrv,
+              dtype=jnp.float32)
+    k = jax.random.key(0)
+    ro = jax.random.normal(k, (N, 3))
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(jax.random.fold_in(k, 2), (N, S),
+                                    minval=2.0, maxval=6.0), axis=-1)
+    mesh = make_mesh([8])
+
+    for C in (0, 4):
+        model = NeRFMLP(depth=2, width=128, in_channels=3 + 6 * mr,
+                        in_channels_views=3 + 6 * mrv,
+                        num_semantic_classes=C, dtype=jnp.float32)
+        pe = jnp.zeros((1, 3 + 6 * mr))
+        ve = jnp.zeros((1, 3 + 6 * mrv))
+        params = model.init(jax.random.key(1), pe, ve)
+        if C:
+            one = fmt.fused_nerf_apply_rays_semantic_q8(
+                params, ro, rd, vd, z, **kw)
+            sharded = fmt.fused_nerf_apply_rays_semantic_q8(
+                params, ro, rd, vd, z, mesh=mesh, **kw)
+            np.testing.assert_array_equal(np.asarray(one[0]),
+                                          np.asarray(sharded[0]))
+            np.testing.assert_array_equal(np.asarray(one[1]),
+                                          np.asarray(sharded[1]))
+        else:
+            one = fmt.fused_nerf_apply_rays_q8(params, ro, rd, vd, z, **kw)
+            sharded = fmt.fused_nerf_apply_rays_q8(params, ro, rd, vd, z,
+                                                   mesh=mesh, **kw)
+            np.testing.assert_array_equal(np.asarray(one),
+                                          np.asarray(sharded))
