@@ -71,6 +71,14 @@ class RenderConfig:
     # fine pass (the visible image) still runs the full MLP. Serving-only;
     # the value is the bake resolution R and doubles as the on/off switch.
     render_grid: int = 0
+    # Grid fine-only mode: the fine MLP evaluates ONLY the N_importance
+    # samples the grid CDF placed (instead of coarse + importance), cutting
+    # the render's MLP evals to N_importance per ray. Requires render_grid.
+    render_grid_fine_only: bool = False
+    # Stratified sample count for the grid CDF (0 = N_samples). Grid lookups
+    # are bandwidth-trivial, so a finer CDF costs ~nothing and sharpens the
+    # importance placement — useful with render_grid_fine_only.
+    render_grid_samples: int = 0
 
     def render_tile(self, fused: bool = False) -> int:
         """Ray-tile size for :func:`render_rays_tiled` honoring both knobs.
@@ -319,7 +327,10 @@ def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
     if cfg.N_importance > 0:
         fm = fine_model if fine_model is not None else model
         fp = params["fine"] if fine_model is not None else params["coarse"]
-        return pass_ok(fm, fp, cfg.N_samples + cfg.N_importance)
+        s_fine = (cfg.N_importance
+                  if grid_serving and cfg.render_grid_fine_only
+                  else cfg.N_samples + cfg.N_importance)
+        return pass_ok(fm, fp, s_fine)
     return True
 
 
@@ -342,10 +353,6 @@ def render_rays(
     if rng is not None:
         k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
 
-    z_vals = stratified_z_vals(
-        rays.near, rays.far, cfg.N_samples,
-        lindisp=cfg.lindisp, perturb=cfg.perturb, rng=k_strat,
-    )
     import os as _os
 
     # Grid serving needs the fine pass to paint the image (the grid coarse
@@ -353,6 +360,13 @@ def render_rays(
     grid = (params.get("density_grid")
             if cfg.render_grid > 0 and cfg.N_importance > 0
             and hasattr(params, "get") else None)
+    # A finer grid CDF costs ~nothing (lookups, not MLP evals).
+    n_strat = (cfg.render_grid_samples or cfg.N_samples) if grid is not None \
+        else cfg.N_samples
+    z_vals = stratified_z_vals(
+        rays.near, rays.far, n_strat,
+        lindisp=cfg.lindisp, perturb=cfg.perturb, rng=k_strat,
+    )
     if grid is not None:
         # Serving: coarse sample placement from the baked sigma grid — no
         # coarse MLP pass at all (ops/density_grid.py).
@@ -384,7 +398,13 @@ def render_rays(
                 det=not cfg.perturb, rng=k_pdf,
             )
         z_samples = jax.lax.stop_gradient(z_samples)
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        if grid is not None and cfg.render_grid_fine_only:
+            # Fine-only serving: the visible pass evaluates ONLY the
+            # importance samples the grid CDF placed.
+            z_all = jnp.sort(z_samples, axis=-1)
+        else:
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
+                             axis=-1)
         # Fine-pass forward-cull sort key: the coarse pass's expected
         # termination depth; unterminated (low-acc) rays sort last. Only an
         # ordering heuristic — exactness never depends on it.

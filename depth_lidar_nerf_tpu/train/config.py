@@ -168,6 +168,14 @@ class TrainConfig:
     # still runs the full MLP). 0 = off; e.g. 192 for a 192^3 bake.
     # Composes with render_int8.
     render_grid: int = 0
+    # Grid fine-only serving: the fine MLP evaluates ONLY the N_importance
+    # samples placed by the grid CDF (not coarse + importance) — MLP evals
+    # per ray drop from N_samples + (N_samples + N_importance) to
+    # N_importance. Pair with render_grid_samples for a sharper CDF.
+    render_grid_fine_only: bool = False
+    # Stratified sample count for the grid CDF (0 = N_samples); grid
+    # lookups are bandwidth-trivial so a finer CDF is ~free.
+    render_grid_samples: int = 0
     profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
     debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)
 

@@ -218,7 +218,10 @@ def _bake_render_grid(cfg: TrainConfig, rcfg, models: Models, params,
           f" (bounds {np.round(lo, 2)} .. {np.round(hi, 2)})")
     out = dict(params)
     out["density_grid"] = grid3
-    return out, dataclasses.replace(rcfg, render_grid=cfg.render_grid)
+    return out, dataclasses.replace(
+        rcfg, render_grid=cfg.render_grid,
+        render_grid_fine_only=cfg.render_grid_fine_only,
+        render_grid_samples=cfg.render_grid_samples)
 
 
 def _validate_flags(cfg: TrainConfig) -> None:
@@ -267,6 +270,11 @@ def _validate_flags(cfg: TrainConfig) -> None:
         print("[config] WARNING: --render_grid only applies to "
               "--render_only serving; training-time eval renders "
               "(i_img/i_testset/i_video) keep the full coarse MLP pass.")
+    if (cfg.render_grid_fine_only or cfg.render_grid_samples) \
+            and cfg.render_grid <= 0:
+        raise ValueError(
+            "--render_grid_fine_only / --render_grid_samples refine the "
+            "baked-grid serving mode and need --render_grid R to be set.")
     defaults = TrainConfig()
     for name in ("testskip", "shape", "half_res"):
         if getattr(cfg, name) != getattr(defaults, name):

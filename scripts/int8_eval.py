@@ -96,6 +96,13 @@ def main():
             scene.poses[scene.i_test[:1]], scene.hwf)
         legs["grid"] = (grc, gp)
         legs["grid_int8"] = (dataclasses.replace(grc, render_int8=True), gp)
+        # Fine-only: N_importance MLP evals per ray total (PERF.md — quality
+        # depends on field convergence; 40+ dB vs full on a converged model)
+        fast = dataclasses.replace(grc, render_grid_fine_only=True,
+                                   render_grid_samples=128)
+        legs["grid_fine_only"] = (fast, gp)
+        legs["grid_fine_only_int8"] = (
+            dataclasses.replace(fast, render_int8=True), gp)
 
     result = {"metric": "serving_render_ab", "iters": iters,
               "grid_res": grid_res}
