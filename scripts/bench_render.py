@@ -46,7 +46,9 @@ def main():
                                                            frustum_bounds)
         from depth_lidar_nerf_tpu.ops.rays import camera_rays
 
-        rcfg = dataclasses.replace(rcfg, render_grid=grid_res)
+        fine_only = os.environ.get("BENCH_GRID_FINE", "0") == "1"
+        rcfg = dataclasses.replace(rcfg, render_grid=grid_res,
+                                   render_grid_fine_only=fine_only)
         ro, rd = camera_rays(H, W, 0.9 * W, jnp.eye(4)[:3])
         lo, hi = frustum_bounds(ro[:: H - 1, :: W - 1], rd[:: H - 1, :: W - 1],
                                 rcfg.near, rcfg.far)
@@ -76,7 +78,10 @@ def main():
 
     print(json.dumps({
         "metric": (f"render_fps_{H}x{W}" + ("_int8" if int8 else "")
-                   + (f"_grid{grid_res}" if grid_res else "")),
+                   + (f"_grid{grid_res}" if grid_res else "")
+                   + ("_fineonly"
+                      if grid_res and os.environ.get("BENCH_GRID_FINE") == "1"
+                      else "")),
         "value": round(1.0 / dt, 3),
         "unit": "fps",
         "rays_per_sec": round(H * W / dt, 1),
