@@ -18,6 +18,8 @@ trilinear weights — bandwidth-trivial next to an MLP pass.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -37,6 +39,39 @@ def frustum_bounds(rays_o, rays_d, near: float, far: float,
     return (lo - pad).astype(np.float32), (hi + pad).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _bake_jit(model, multires: int, multires_views: int, R: int, chunk: int):
+    """One compiled whole-bake program per (model, encode, R) — the bake
+    runs every ``grid_rebake_every`` training steps, so it must not re-trace
+    (a fresh ``@jax.jit`` closure per call measured 7-15s/bake over the axon
+    tunnel vs ~0.1s compiled) and must be ONE device dispatch (eager
+    per-chunk dispatches each pay tunnel RTT)."""
+    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
+
+    dtype = getattr(model, "dtype", None) or jnp.float32
+    n = R * R * R
+    n_chunks = -(-n // chunk)
+
+    @jax.jit
+    def run(p, lo, hi):
+        axes = [jnp.linspace(lo[i], hi[i], R, dtype=jnp.float32)
+                for i in range(3)]
+        pts = jnp.stack(jnp.meshgrid(*axes, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+        pts = jnp.pad(pts, ((0, n_chunks * chunk - n), (0, 0)))
+
+        def body(x):
+            pe = positional_encoding(x, multires).astype(dtype)
+            ve = jnp.zeros((x.shape[0], 3 + 6 * multires_views), dtype)
+            raw = model.apply(p, pe, ve)
+            return raw[..., 3].astype(jnp.float32)
+
+        sigma = jax.lax.map(body, pts.reshape(n_chunks, chunk, 3))
+        return sigma.reshape(-1)[:n].reshape(R, R, R)
+
+    return run
+
+
 def bake_density_grid(model, params, cfg, lo, hi, resolution: int,
                       chunk: int = 1 << 18):
     """Evaluate the model's raw sigma on an ``R^3`` grid over [lo, hi].
@@ -46,31 +81,15 @@ def bake_density_grid(model, params, cfg, lo, hi, resolution: int,
     embedding — sigma is computed before the view conditioning
     (run_nerf_helpers.py:153-158), so its value is exact. Returns
     ``(grid [R, R, R] f32, lo [3] f32, hi [3] f32)`` ready to attach to the
-    render params as ``params["density_grid"]``.
+    render params as ``params["density_grid"]``. Compiled once per
+    (model, R); re-bakes are a single device dispatch.
     """
-    from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
-
     R = int(resolution)
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
-    axes = [jnp.linspace(lo[i], hi[i], R, dtype=jnp.float32) for i in range(3)]
-    pts = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
-
-    dtype = getattr(model, "dtype", None) or jnp.float32
-
-    @jax.jit
-    def sigma_chunk(p, x):
-        pe = positional_encoding(x, cfg.multires).astype(dtype)
-        ve = jnp.zeros((x.shape[0], 3 + 6 * cfg.multires_views), dtype)
-        raw = model.apply(p, pe, ve)
-        return raw[..., 3].astype(jnp.float32)
-
-    n = pts.shape[0]
-    out = []
-    for s in range(0, n, chunk):
-        out.append(sigma_chunk(params, pts[s:s + chunk]))
-    grid = jnp.concatenate(out).reshape(R, R, R)
-    return grid, lo, hi
+    run = _bake_jit(model, int(cfg.multires), int(cfg.multires_views), R,
+                    min(int(chunk), R * R * R))
+    return run(params, lo, hi), lo, hi
 
 
 def trilinear_sigma(grid, lo, hi, pts):

@@ -162,6 +162,13 @@ class TrainConfig:
     # no-grad patch render that feeds the perceptual losses) stays bf16.
     # Semantic renders run the quantized trunk with a bf16 affine head.
     render_int8: bool = False
+    # Quantized (W8A8) forward for the NO-GRAD patch render leg of the
+    # feature/GAN/smoothness iterations (the reference renders this leg under
+    # no_grad at full precision, run_nerf.py:1600-1644; it is gradient-free
+    # by construction — step.py ng_render). Opt-in: int8 introduces a bounded
+    # (~2% worst-case) deviation in the no-grad pixels feeding the perceptual
+    # losses; A/B final metrics before enabling on a new scene.
+    patch_ng_int8: bool = False
     # Baked-density-grid serving (--render_only): bake the trained fine
     # model's sigma field onto an R^3 grid once, then replace the coarse MLP
     # pass of every rendered frame with a trilinear lookup (the fine pass
@@ -176,6 +183,30 @@ class TrainConfig:
     # Stratified sample count for the grid CDF (0 = N_samples); grid
     # lookups are bandwidth-trivial so a finer CDF is ~free.
     render_grid_samples: int = 0
+    # Baked-density-grid TRAINING (opt-in; no reference counterpart): after
+    # ``grid_train_after`` warmup steps of normal two-MLP training, the
+    # coarse MLP pass of the train step is replaced by a trilinear lookup of
+    # a sigma grid baked from the live FINE model (re-baked from the live
+    # params every ``grid_rebake_every`` steps, off the step's critical
+    # path). The fine pass still evaluates the stratified + importance union
+    # (N_samples + N_importance points), so sample coverage of [near, far]
+    # is unchanged — only the coarse MLP's forward+backward FLOPs (~1/3 of
+    # the step's MLP work) are deleted, along with its img_loss0 term (the
+    # coarse MLP's only training signal, which exists purely to learn a
+    # sample-placement field the grid now provides, run_nerf.py:571-600).
+    # Eval renders during grid training also use the grid (the coarse MLP
+    # is stale once it stops receiving gradients).
+    grid_train: bool = False
+    grid_train_after: int = 500
+    grid_rebake_every: int = 500
+    grid_train_res: int = 128
+    # Aggressive variant: the fine pass evaluates ONLY the N_importance
+    # samples the grid CDF placed (64 MLP evals/ray instead of 192 at the
+    # flagship shape). Coverage then depends wholly on the grid; gate with
+    # a quality A/B (scripts/time_to_quality.py).
+    grid_train_fine_only: bool = False
+    # Stratified sample count for the training grid CDF (0 = N_samples).
+    grid_train_samples: int = 0
     profile_dir: Optional[str] = None  # jax.profiler trace output (TPU)
     debug_nans: bool = False  # jax.config debug_nans (reference: DEBUG scan, run_nerf.py:671-673)
 

@@ -178,46 +178,61 @@ def render_path(models: Models, params, render_poses, hwf, cfg_render,
     return np.stack(rgbs), np.stack(disps)
 
 
-def _bake_render_grid(cfg: TrainConfig, rcfg, models: Models, params,
-                      render_poses, hwf):
-    """--render_grid serving bake: returns (params + density_grid, rcfg with
-    render_grid set). Bounds come from the corner+center rays of every pose
-    being rendered (in the same — possibly NDC-warped — space the renderer
-    samples in); sigma is baked from the FINE model, which also places the
-    fine samples in a full render."""
-    from depth_lidar_nerf_tpu.ops.density_grid import (bake_density_grid,
-                                                       frustum_bounds)
+def grid_bounds_for_poses(rcfg, poses, hwf, render_factor: int = 0):
+    """Frustum bounds for a density-grid bake, from the corner+center rays
+    of every given pose (in the same — possibly NDC-warped — space the
+    renderer samples in). ``rays_by_coord`` avoids materializing full
+    H x W ray grids."""
+    from depth_lidar_nerf_tpu.ops.density_grid import frustum_bounds
     from depth_lidar_nerf_tpu.ops.rays import rays_by_coord
     from depth_lidar_nerf_tpu.render.renderer import make_rays
 
     H, W, focal = hwf
-    if cfg.render_factor:
-        H, W, focal = (H // cfg.render_factor, W // cfg.render_factor,
-                       focal / cfg.render_factor)
+    if render_factor:
+        H, W, focal = H // render_factor, W // render_factor, focal / render_factor
     H, W = int(H), int(W)
-    # Corner + center rays of every pose bound the frustum (x = column,
-    # y = row); rays_by_coord avoids materializing full H x W ray grids.
+    # x = column, y = row.
     coords = jnp.asarray([(0, 0), (W - 1, 0), (0, H - 1), (W - 1, H - 1),
                           (W // 2, H // 2)], jnp.float32)
     ro_all, rd_all = [], []
-    for c2w in np.asarray(render_poses):
+    for c2w in np.asarray(poses):
         ro, rd = rays_by_coord(H, W, focal, jnp.asarray(c2w[:3, :4]), coords)
         ro_all.append(ro)
         rd_all.append(rd)
     rays = make_rays(jnp.concatenate(ro_all), jnp.concatenate(rd_all),
                      rcfg, H, W, focal)
-    lo, hi = frustum_bounds(rays.origins, rays.directions,
-                            rcfg.near, rcfg.far)
+    return frustum_bounds(rays.origins, rays.directions, rcfg.near, rcfg.far)
+
+
+def bake_grid(rcfg, models: Models, params, lo, hi, resolution: int,
+              verbose: bool = True):
+    """Bake the FINE model's raw sigma field to ``(grid, lo, hi)``
+    (ops/density_grid.py). Shared by --render_grid serving and --grid_train."""
+    from depth_lidar_nerf_tpu.ops.density_grid import bake_density_grid
+
     fine_model = models.fine if models.fine is not None else models.coarse
-    fine_params = params["fine"] if "fine" in params else params["coarse"]
+    fine_params = params["fine"] if params.get("fine") is not None \
+        else params["coarse"]
     t0 = time.time()
     grid3 = bake_density_grid(fine_model, fine_params, rcfg, lo, hi,
-                              cfg.render_grid)
+                              resolution)
     jax.block_until_ready(grid3[0])
-    print(f"baked {cfg.render_grid}^3 density grid in {time.time() - t0:.1f}s"
-          f" (bounds {np.round(lo, 2)} .. {np.round(hi, 2)})")
+    if verbose:
+        print(f"baked {resolution}^3 density grid in {time.time() - t0:.1f}s"
+              f" (bounds {np.round(np.asarray(lo), 2)}"
+              f" .. {np.round(np.asarray(hi), 2)})")
+    return grid3
+
+
+def _bake_render_grid(cfg: TrainConfig, rcfg, models: Models, params,
+                      render_poses, hwf):
+    """--render_grid serving bake: returns (params + density_grid, rcfg with
+    render_grid set). Sigma is baked from the FINE model, which also places
+    the fine samples in a full render."""
+    lo, hi = grid_bounds_for_poses(rcfg, render_poses, hwf, cfg.render_factor)
     out = dict(params)
-    out["density_grid"] = grid3
+    out["density_grid"] = bake_grid(rcfg, models, params, lo, hi,
+                                    cfg.render_grid)
     return out, dataclasses.replace(
         rcfg, render_grid=cfg.render_grid,
         render_grid_fine_only=cfg.render_grid_fine_only,
@@ -275,6 +290,26 @@ def _validate_flags(cfg: TrainConfig) -> None:
         raise ValueError(
             "--render_grid_fine_only / --render_grid_samples refine the "
             "baked-grid serving mode and need --render_grid R to be set.")
+    if cfg.grid_train:
+        if cfg.N_importance <= 0:
+            raise ValueError(
+                "--grid_train replaces the COARSE pass with a baked-grid "
+                "lookup; with N_importance=0 there is no fine pass to train. "
+                "Use N_importance > 0 or drop --grid_train.")
+        if cfg.alpha_model_path or cfg.no_coarse:
+            raise ValueError(
+                "--grid_train is incompatible with the frozen-alpha paths "
+                "(--alpha_model_path / --no_coarse): both already replace "
+                "the coarse field with something fixed.")
+        if cfg.grid_train_res <= 1 or cfg.grid_rebake_every <= 0:
+            raise ValueError(
+                "--grid_train needs grid_train_res > 1 and "
+                "grid_rebake_every > 0.")
+    if ((cfg.grid_train_fine_only or cfg.grid_train_samples)
+            and not cfg.grid_train):
+        raise ValueError(
+            "--grid_train_fine_only / --grid_train_samples refine "
+            "--grid_train and need it to be set.")
     defaults = TrainConfig()
     for name in ("testskip", "shape", "half_res"):
         if getattr(cfg, name) != getattr(defaults, name):
@@ -314,6 +349,11 @@ def dispatch_block_len(cfg: TrainConfig, plan, i: int, key,
                   cfg.i_video):
             if n > 0 and j % n == 0:
                 return True
+        # Grid re-bakes happen between dispatch blocks (off the step's
+        # critical path), so blocks must end on re-bake multiples.
+        if (cfg.grid_train and j > cfg.grid_train_after
+                and j % cfg.grid_rebake_every == 0):
+            return True
         return j >= cfg.N_iters
 
     k = 1
@@ -357,6 +397,8 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
         starts.append(cfg.gan_start_iteration)
     if cfg.no_batching:
         starts.append(cfg.precrop_iters)
+    if cfg.grid_train:
+        starts.append(cfg.grid_train_after + 1)
     period = max(cfg.feature_loss_every_n if cfg.feature_loss else 1,
                  cfg.depth_inverse_loss_every_n if cfg.depth_inverse_loss else 1,
                  2 * k_max, 10)
@@ -366,8 +408,8 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
     while i <= horizon:
         key = plan.variant_key(i)
         k = dispatch_block_len(cfg, plan, i, key, k_max)
-        job = ("multi", k, key[3]) if k > 1 else ("single", key, i)
-        sig = job[:2] if job[0] == "multi" else (job[0], job[1])
+        job = ("multi", k, key[3], key[4]) if k > 1 else ("single", key, i)
+        sig = job if job[0] == "multi" else (job[0], job[1])
         if first:
             first = False  # the main thread compiles its own first block
         elif sig not in seen:
@@ -387,9 +429,19 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
     fns = []
     for job in jobs:
         if job[0] == "multi":
-            fns.append((plan.get_multi(job[1], job[2]), job))
+            fns.append((plan.get_multi(job[1], job[2], job[3]), job))
         else:
             fns.append((plan.select(job[2])[0], job))
+
+    # Grid variants warm against a placeholder grid of the real shape (the
+    # compiled program only depends on shapes, and the warm state is a
+    # throwaway clone anyway).
+    dummy_grid = None
+    if cfg.grid_train:
+        R = cfg.grid_train_res
+        dummy_grid = (jnp.zeros((R, R, R), jnp.float32),
+                      jnp.zeros((3,), jnp.float32),
+                      jnp.ones((3,), jnp.float32))
 
     # One never-donated master clone, taken BEFORE the first real step can
     # donate the live state's buffers.
@@ -405,12 +457,14 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
             st = _clone()
             if job[0] == "multi":
                 fn(st, rgb_table, depth_table, None, vgg_params, rng,
-                   jnp.arange(1, 1 + job[1], dtype=jnp.int32))
+                   jnp.arange(1, 1 + job[1], dtype=jnp.int32),
+                   dummy_grid if job[3] else None)
             else:
                 needs = any(job[1][:3])
                 fn(st, rgb_table, depth_table,
                    patch_source if needs else None, vgg_params,
-                   jax.random.fold_in(rng, 0))
+                   jax.random.fold_in(rng, 0),
+                   dummy_grid if job[1][4] else None)
         except Exception:  # warming must never break training
             pass
 
@@ -557,11 +611,17 @@ def train(cfg: TrainConfig):
         os.makedirs(savedir, exist_ok=True)
         render_params = state.params
         rcfg_ro = rcfg_r
-        if cfg.render_grid > 0:
+        if cfg.render_grid > 0 or cfg.grid_train:
             # Serving accelerator: bake the fine model's sigma field once,
-            # then every frame's coarse pass is a trilinear lookup.
+            # then every frame's coarse pass is a trilinear lookup. A
+            # grid-trained checkpoint MUST take this path — its coarse MLP
+            # stopped training at grid_train_after and is stale.
+            eff = cfg if cfg.render_grid > 0 else cfg.replace(
+                render_grid=cfg.grid_train_res,
+                render_grid_fine_only=cfg.grid_train_fine_only,
+                render_grid_samples=cfg.grid_train_samples)
             render_params, rcfg_ro = _bake_render_grid(
-                cfg, rcfg_r, models, state.params, poses, scene.hwf)
+                eff, rcfg_r, models, state.params, poses, scene.hwf)
         rgbs, disps = render_path(models, render_params, poses, scene.hwf,
                                   rcfg_ro, savedir, cfg.render_factor)
         _write_videos(savedir, "", rgbs, disps)
@@ -611,6 +671,45 @@ def train(cfg: TrainConfig):
 
     k_max = dispatch_k_max(cfg)
 
+    # --grid_train: past grid_train_after the coarse MLP pass is replaced by
+    # a trilinear lookup of this grid, re-baked from the live fine params
+    # every grid_rebake_every steps (~0.7 step-equivalents of forward FLOPs
+    # per bake at 128^3). Bounds cover every pose the run can touch (train +
+    # test + spiral path), so eval renders can use the same grid.
+    grid3 = None
+    grid_last_bake = -1
+    grid_bounds = None
+    rcfg_r_grid = None
+    if cfg.grid_train:
+        bound_poses = [scene.poses]
+        if scene.render_poses is not None and len(scene.render_poses):
+            bound_poses.append(np.asarray(scene.render_poses)[:, :3, :4])
+        grid_bounds = grid_bounds_for_poses(
+            rcfg, np.concatenate(bound_poses), scene.hwf)
+        rcfg_r_grid = dataclasses.replace(
+            rcfg_r, render_grid=cfg.grid_train_res,
+            render_grid_fine_only=cfg.grid_train_fine_only,
+            render_grid_samples=cfg.grid_train_samples)
+
+    def _rebake(i):
+        nonlocal grid3, grid_last_bake
+        grid3 = bake_grid(rcfg, models, state.params, grid_bounds[0],
+                          grid_bounds[1], cfg.grid_train_res,
+                          verbose=(grid_last_bake < 0))
+        if mesh is not None:
+            from depth_lidar_nerf_tpu.parallel.mesh import replicate
+
+            grid3 = replicate(mesh, grid3)
+        grid_last_bake = i
+
+    def _eval_view(params):
+        """(params, rcfg) for eval renders: once grid training is active the
+        coarse MLP is stale (it stopped receiving gradients), so eval frames
+        must render through the grid too."""
+        if grid3 is None:
+            return params, rcfg_r
+        return {**params, "density_grid": grid3}, rcfg_r_grid
+
     writer = None
     try:
         from tensorboardX import SummaryWriter
@@ -630,18 +729,24 @@ def train(cfg: TrainConfig):
     i = start + 1
     while i <= cfg.N_iters:
         key = plan.variant_key(i)
+        grid_on = len(key) > 4 and key[4]
+        if grid_on and (grid3 is None
+                        or i - grid_last_bake >= cfg.grid_rebake_every):
+            _rebake(i)
         k = dispatch_block_len(cfg, plan, i, key, k_max)
         if k > 1:
-            step_fn = plan.get_multi(k, key[3])
+            step_fn = plan.get_multi(k, key[3], grid_on)
             state, metrics = step_fn(
                 state, rgb_table, depth_table, None, vgg_params, rng,
-                jnp.arange(i, i + k, dtype=jnp.int32))
+                jnp.arange(i, i + k, dtype=jnp.int32),
+                grid3 if grid_on else None)
             metrics = {kk: v[-1] for kk, v in metrics.items()}
         else:
             step_fn, needs_patch = plan.select(i)
             patch = patch_source if needs_patch else None
             state, metrics = step_fn(state, rgb_table, depth_table, patch,
-                                     vgg_params, jax.random.fold_in(rng, i))
+                                     vgg_params, jax.random.fold_in(rng, i),
+                                     grid3 if grid_on else None)
         rays_done += cfg.N_rand * k
         i += k - 1  # i = last iteration of the block for event handling
 
@@ -669,9 +774,10 @@ def train(cfg: TrainConfig):
         if cfg.i_testset > 0 and i % cfg.i_testset == 0 and len(scene.i_test) > 0:
             testdir = os.path.join(expdir, f"testset_{i:06d}")
             os.makedirs(testdir, exist_ok=True)
-            rgbs, _ = render_path(models, state.params,
+            ev_params, ev_rcfg = _eval_view(state.params)
+            rgbs, _ = render_path(models, ev_params,
                                   scene.poses[scene.i_test], scene.hwf,
-                                  rcfg_r, testdir)
+                                  ev_rcfg, testdir)
             gts = scene.images[scene.i_test]
             t_psnr = float(np.mean([psnr_np(r, g) for r, g in zip(rgbs, gts)]))
             t_ssim = float(np.mean([ssim_np(r, g) for r, g in zip(rgbs, gts)]))
@@ -689,9 +795,10 @@ def train(cfg: TrainConfig):
             # Validation-view image logging (the reference's i_img intent,
             # run_nerf.py:1995-2014, made live).
             img_i = int(host_rng.choice(scene.i_test))
-            out = render_image(models.coarse, models.fine, state.params,
+            ev_params, ev_rcfg = _eval_view(state.params)
+            out = render_image(models.coarse, models.fine, ev_params,
                                H, W, focal, jnp.asarray(scene.poses[img_i]),
-                               rcfg_r)
+                               ev_rcfg)
             rgb = np.asarray(out["rgb_map"])
             writer.add_image("Images/rgb_holdout", losses.to8b(rgb), i,
                              dataformats="HWC")
@@ -704,8 +811,9 @@ def train(cfg: TrainConfig):
             writer.add_scalar("Val/psnr_holdout", val_psnr, i)
 
         if cfg.i_video > 0 and i % cfg.i_video == 0 and i > 0:
-            rgbs, disps = render_path(models, state.params, scene.render_poses,
-                                      scene.hwf, rcfg_r)
+            ev_params, ev_rcfg = _eval_view(state.params)
+            rgbs, disps = render_path(models, ev_params, scene.render_poses,
+                                      scene.hwf, ev_rcfg)
             _write_videos(expdir, f"{cfg.expname}_spiral_{i:06d}_", rgbs, disps)
 
         i += 1

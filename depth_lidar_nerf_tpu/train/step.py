@@ -18,6 +18,7 @@ surgery.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, NamedTuple, Optional
 
@@ -143,8 +144,21 @@ def make_train_step(
     precrop_on: bool = False,
     mesh=None,
     k_steps: int = 1,
+    grid_mode: bool = False,
 ):
     """Build one jitted step for a given loss-schedule variant.
+
+    With ``grid_mode`` (``--grid_train``, active past ``grid_train_after``)
+    the step takes a trailing ``grid3 = (grid [R,R,R], lo [3], hi [3])``
+    argument — the fine model's sigma field baked by the driver — and the
+    coarse pass becomes a trilinear lookup (ops/density_grid.py) instead of
+    the coarse MLP: the coarse MLP's forward AND backward disappear from the
+    program, and with them the ``img_loss0`` / coarse-semantic/patch-coarse
+    terms whose only purpose was training that MLP's placement field
+    (run_nerf.py:571-600, 1759-1762). The fine pass is unchanged (it still
+    evaluates the stratified+importance union unless
+    ``grid_train_fine_only``), so the trajectory differs from two-MLP
+    training only through the importance-sample placement.
 
     With ``mesh``, the gathered ray batch is sharding-constrained over the
     mesh's ray axis so GSPMD partitions render + backward data-parallel and
@@ -171,16 +185,29 @@ def make_train_step(
     patch_mode = feature_on or gan_on or smooth_on
     optimizer = make_optimizer(cfg)
     disc_opt = make_disc_optimizer(cfg)
-    coarse_on = cfg.N_importance > 0 and not cfg.no_coarse
+    coarse_on = cfg.N_importance > 0 and not cfg.no_coarse and not grid_mode
+    if grid_mode:
+        if cfg.N_importance <= 0:
+            raise ValueError("grid_train needs a fine pass (N_importance > 0)")
+        # render_rays dispatches to its grid branch when the params carry a
+        # density_grid AND render_grid > 0 on the (static) config.
+        rcfg = dataclasses.replace(
+            rcfg, render_grid=cfg.grid_train_res,
+            render_grid_fine_only=cfg.grid_train_fine_only,
+            render_grid_samples=cfg.grid_train_samples)
     if patch_mode and (cfg.nH > H or cfg.nW > W):
         # The in-jit sampler (sample_patch) would clamp its dynamic_slice and
         # silently train on crops mismatched against patch_ray_dirs.
         raise ValueError(f"patch {cfg.nH}x{cfg.nW} larger than image {H}x{W}")
 
     def loss_fn(params, state_step, rgb_table, depth_table, patch, ng_patch,
-                vgg_params, disc_params, rng):
+                vgg_params, disc_params, rng, grid3=None):
         keys = jax.random.split(rng, 8)
         metrics = {}
+        # The baked grid rides along with the differentiated params (it is a
+        # constant w.r.t. the grad — sample placement is stop_gradient'ed in
+        # render_rays anyway).
+        rparams = {**params, "density_grid": grid3} if grid_mode else params
 
         # ---- ray batch: uniform gather from the device-resident tables ----
         if cfg.no_batching:
@@ -220,7 +247,7 @@ def make_train_step(
             rays_all = rays
         rays_all = shard_rays(rays_all)
 
-        out = render_rays(models.coarse, models.fine, params, rays_all, rcfg,
+        out = render_rays(models.coarse, models.fine, rparams, rays_all, rcfg,
                           rng=keys[2])
 
         rgb = out["rgb_map"][:n_rgb]
@@ -254,7 +281,10 @@ def make_train_step(
             )
             metrics["semantic_loss"] = sem_loss
             sem_loss0 = 0.0
-            if "sem_preds0" in out:
+            # Grid mode has no coarse semantic head (sem_preds0 is a zero
+            # stand-in for pytree stability) — like img_loss0, the coarse CE
+            # existed to train the now-deleted coarse MLP.
+            if "sem_preds0" in out and not grid_mode:
                 sem_loss0 = losses.semantic_cross_entropy(
                     out["sem_preds0"][:n_rgb], target_sem
                 )
@@ -275,11 +305,14 @@ def make_train_step(
             prays = make_rays(ro, rd, rcfg, H, W, focal)
             grad_rays = shard_rays(
                 jax.tree.map(lambda x: x[patch.perm[:n_grad]], prays))
-            g_out = render_rays(models.coarse, models.fine, params, grad_rays,
+            g_out = render_rays(models.coarse, models.fine, rparams, grad_rays,
                                 rcfg, rng=keys[4])
 
             def stack_fc(o, key, key0):
-                if cfg.N_importance > 0:
+                # Grid mode drops the coarse legs of the patch losses (the
+                # grid composite has no RGB and the coarse MLP no longer
+                # trains) — stacks are [1, ...] fine-only.
+                if cfg.N_importance > 0 and not grid_mode:
                     return jnp.stack([o[key], o[key0]], axis=0)
                 return o[key][None]
 
@@ -306,7 +339,8 @@ def make_train_step(
                                             normalize=True)
                 d_coarse = (models.lpips.apply(vgg_params, gt, acc_rgb[1:2],
                                                normalize=True)
-                            if cfg.N_importance > 0 else None)
+                            if cfg.N_importance > 0 and not grid_mode
+                            else None)
                 if cfg.lpips_spatial:
                     metrics["lpips_spatial"] = jax.lax.stop_gradient(
                         d_fine[0, ..., 0])
@@ -333,7 +367,7 @@ def make_train_step(
                 feature_loss = losses.vgg_feature_distance(
                     f_fine, feats_gt, layer_names, weights, cfg.vgg_loss_type
                 )
-                if cfg.N_importance > 0:
+                if cfg.N_importance > 0 and not grid_mode:
                     f_coarse = {k: v[1:2] for k, v in feats_r.items()}
                     fl0 = losses.vgg_feature_distance(
                         f_coarse, feats_gt, layer_names, weights, cfg.vgg_loss_type
@@ -349,7 +383,7 @@ def make_train_step(
                 noise = jax.random.normal(keys[5], (1, cfg.nH, cfg.nW, 3)) * noise_std
                 pred = models.discriminator.apply(dp, acc_rgb[0:1] + noise)
                 gan_loss = losses.gan_mse(pred, 1.0)
-                if cfg.N_importance > 0:
+                if cfg.N_importance > 0 and not grid_mode:
                     noise0 = jax.random.normal(keys[6], (1, cfg.nH, cfg.nW, 3)) * noise_std
                     pred0 = models.discriminator.apply(dp, acc_rgb[1:2] + noise0)
                     gan_loss = gan_loss + losses.gan_mse(pred0, 1.0)
@@ -359,13 +393,19 @@ def make_train_step(
         metrics["loss"] = loss
         return loss, (metrics, rendered_patch)
 
-    def ng_render(params, patch, rng):
+    # --patch_ng_int8: the no-grad leg is forward-only, so the W8A8 serving
+    # kernels are legal there (the grad leg and all losses stay bf16).
+    rcfg_ng = (dataclasses.replace(rcfg, render_int8=True)
+               if cfg.patch_ng_int8 else rcfg)
+
+    def ng_render(params, patch, rng, grid3=None):
         """No-grad patch subset on stop_gradient params, HBM-tiled."""
         ro, rd = patch_ray_dirs(H, W, focal, patch.c2w, patch.start_h,
                                 patch.start_w, cfg.nH, cfg.nW)
-        prays = make_rays(ro, rd, rcfg, H, W, focal)
+        prays = make_rays(ro, rd, rcfg_ng, H, W, focal)
         ng_rays = shard_rays(jax.tree.map(lambda x: x[patch.perm[n_grad:]], prays))
-        p = jax.lax.stop_gradient(params)
+        p = jax.lax.stop_gradient(
+            {**params, "density_grid": grid3} if grid_mode else params)
         # Eval-mode tiles: the no-grad render dominates patch iterations
         # (run_nerf.py:1600-1644 equivalent), and the primal-only fused
         # forward keeps no activations, so the 16k-ray render sweet spot is
@@ -376,11 +416,11 @@ def make_train_step(
         # path; the Flax fallback materializes [tile*S, W] activations in
         # HBM, so it keeps the conservative 4096 cap. pick_render_tile
         # checks readiness at the EXACT tile that will run.
-        tile = pick_render_tile(models.coarse, models.fine, p, rcfg,
+        tile = pick_render_tile(models.coarse, models.fine, p, rcfg_ng,
                                 ng_rays.origins.shape[0],
                                 fused_cap=16384, flax_cap=4096)
-        return render_rays_tiled(models.coarse, models.fine, p, ng_rays, rcfg,
-                                 rng=rng, tile=tile)
+        return render_rays_tiled(models.coarse, models.fine, p, ng_rays,
+                                 rcfg_ng, rng=rng, tile=tile)
 
     def disc_step(state, gt_patch, fake_patches, rng, noise_step):
         """Discriminator update on detached patches (run_nerf.py:1779-1816).
@@ -399,7 +439,7 @@ def make_train_step(
             pred_fake = models.discriminator.apply(dp, fake[0:1] + noise_fake)
             loss_real = losses.gan_mse(pred_real, 1.0)
             loss_fake = losses.gan_mse(pred_fake, 0.0)
-            if cfg.N_importance > 0:
+            if cfg.N_importance > 0 and not grid_mode:
                 noise_f0 = jax.random.normal(k_f0, (1, cfg.nH, cfg.nW, 3)) * noise_std
                 pred_f0 = models.discriminator.apply(dp, fake[1:2] + noise_f0)
                 loss_fake = 0.5 * (loss_fake + losses.gan_mse(pred_f0, 0.0))
@@ -417,7 +457,7 @@ def make_train_step(
         @functools.partial(jax.jit, donate_argnums=(0,))
         def multi_step_fn(state: TrainState, rgb_table: RgbRayTable,
                           depth_table: Optional[DepthRayTable],
-                          patch, vgg_params, rng, iters):
+                          patch, vgg_params, rng, iters, grid3=None):
             del patch
 
             def body(st, it):
@@ -428,7 +468,7 @@ def make_train_step(
                 grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
                 (_, (metrics, _)), grads = grad_fn(
                     st.params, st.step, rgb_table, depth_table, None, None,
-                    vgg_params, st.disc_params, k_loss)
+                    vgg_params, st.disc_params, k_loss, grid3)
                 upd, new_opt = optimizer.update(grads, st.opt_state,
                                                 st.params)
                 st = st.replace(
@@ -443,19 +483,20 @@ def make_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, rgb_table: RgbRayTable,
                 depth_table: Optional[DepthRayTable],
-                patch: Optional[PatchBatch], vgg_params, rng):
+                patch: Optional[PatchBatch], vgg_params, rng, grid3=None):
         k_ng, k_loss, k_disc = jax.random.split(rng, 3)
         pre_update_step = state.step
         if patch_mode and isinstance(patch, PatchSource):
             # In-jit patch sampling: no per-iteration host uploads.
             patch = sample_patch(patch, jax.random.fold_in(rng, 17),
                                  cfg.nH, cfg.nW)
-        ng_patch = ng_render(state.params, patch, k_ng) if patch_mode else None
+        ng_patch = (ng_render(state.params, patch, k_ng, grid3)
+                    if patch_mode else None)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, rendered_patch)), grads = grad_fn(
             state.params, state.step, rgb_table, depth_table, patch, ng_patch,
-            vgg_params, state.disc_params, k_loss,
+            vgg_params, state.disc_params, k_loss, grid3,
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = constrain_params(optax.apply_updates(state.params, updates))
@@ -482,16 +523,16 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
     ``depth_inverse_loss and i % every_n == 0``.
     """
     base = make_train_step(cfg, rcfg, models, hwf, mesh=mesh)
-    variants = {(False, False, False, False): base}
+    variants = {(False, False, False, False, False): base}
     multi_variants = {}
 
-    def get_variant(feature_on, gan_on, smooth_on, precrop_on):
-        key = (feature_on, gan_on, smooth_on, precrop_on)
+    def get_variant(feature_on, gan_on, smooth_on, precrop_on, grid_on=False):
+        key = (feature_on, gan_on, smooth_on, precrop_on, grid_on)
         if key not in variants:
             variants[key] = make_train_step(
                 cfg, rcfg, models, hwf, mesh=mesh,
                 feature_on=feature_on, gan_on=gan_on, smooth_on=smooth_on,
-                precrop_on=precrop_on,
+                precrop_on=precrop_on, grid_mode=grid_on,
             )
         return variants[key]
 
@@ -502,20 +543,21 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
         smooth_on = bool(cfg.depth_inverse_loss
                          and i % cfg.depth_inverse_loss_every_n == 0)
         precrop_on = bool(cfg.no_batching and i < cfg.precrop_iters)
-        return (feature_on, gan_on, smooth_on, precrop_on)
+        grid_on = bool(cfg.grid_train and i > cfg.grid_train_after)
+        return (feature_on, gan_on, smooth_on, precrop_on, grid_on)
 
     def select(i: int):
         key = variant_key(i)
         fn = get_variant(*key)
         return fn, any(key[:3])
 
-    def get_multi(k: int, precrop_on: bool):
-        """K-step scan variant (non-patch only; one per (k, precrop))."""
-        mkey = (k, precrop_on)
+    def get_multi(k: int, precrop_on: bool, grid_on: bool = False):
+        """K-step scan variant (non-patch only; one per (k, precrop, grid))."""
+        mkey = (k, precrop_on, grid_on)
         if mkey not in multi_variants:
             multi_variants[mkey] = make_train_step(
                 cfg, rcfg, models, hwf, mesh=mesh, precrop_on=precrop_on,
-                k_steps=k)
+                k_steps=k, grid_mode=grid_on)
         return multi_variants[mkey]
 
     return StepPlan(select, variant_key, get_multi)
