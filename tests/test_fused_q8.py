@@ -233,3 +233,78 @@ def test_render_int8_semantic_dispatch(monkeypatch):
                                np.asarray(out_bf.rgb), atol=0.03)
     np.testing.assert_allclose(np.asarray(out_q8.semantic),
                                np.asarray(out_bf.semantic), atol=0.05 * 128)
+
+
+def test_patch_ng_int8_routes_only_the_no_grad_leg(monkeypatch, tmp_path):
+    """--patch_ng_int8 (VERDICT r3 #4): the gradient-free patch render leg
+    (step.py ng_render, reference run_nerf.py:1600-1644) dispatches to the
+    W8A8 kernels while the grad leg and the base render stay bf16, and the
+    step still optimizes (finite loss, step advances)."""
+    import os
+
+    from depth_lidar_nerf_tpu.data.synthetic import make_scene
+    from depth_lidar_nerf_tpu.train.config import (TrainConfig,
+                                                   render_config_from)
+    from depth_lidar_nerf_tpu.train.loop import load_scene
+    from depth_lidar_nerf_tpu.train.state import (FusedMLP, build_models,
+                                                  init_train_state,
+                                                  init_vgg_params)
+    from depth_lidar_nerf_tpu.train.step import make_train_step
+    from depth_lidar_nerf_tpu.train.tables import (build_depth_table,
+                                                   build_rgb_table)
+
+    monkeypatch.setenv("DLNERF_PALLAS_INTERPRET", "1")
+    d = str(tmp_path / "scene")
+    make_scene(d, n_images=2, H=24, W=32, focal=30.0, n_depth_points=60)
+    cfg = TrainConfig(
+        datadir=d, dataset_type="llff", factor=0, llffhold=0,
+        test_scene=[-1], N_rand=64, N_samples=16, N_importance=16,
+        netdepth=2, netwidth=128, netdepth_fine=2, netwidth_fine=128,
+        use_viewdirs=True, no_ndc=True, multires=4, multires_views=2,
+        feature_loss=True, feature_loss_type="vgg", vgg_layers=["conv1_2"],
+        vgg_layer_weights=[1.0], vgg_loss_type="l1",
+        nH=8, nW=16, gradH=4, gradW=4, patch_ng_int8=True,
+        use_fused_mlp=True,
+    )
+    scene = load_scene(cfg)
+    rcfg = render_config_from(cfg, 0, scene.near, scene.far)
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+    vgg_p = init_vgg_params(cfg, models, jax.random.key(7))
+    H, W, focal = scene.hwf
+    rgb_t = build_rgb_table(scene.images, scene.poses, scene.i_train,
+                            H, W, focal, rcfg)
+    dep_t = None
+
+    calls = {"q8": 0, "bf16": 0}
+    orig_q8, orig_bf = FusedMLP.apply_rays_q8, FusedMLP.apply_rays
+
+    def count_q8(self, *a, **k):
+        calls["q8"] += 1
+        return orig_q8(self, *a, **k)
+
+    def count_bf(self, *a, **k):
+        calls["bf16"] += 1
+        return orig_bf(self, *a, **k)
+
+    monkeypatch.setattr(FusedMLP, "apply_rays_q8", count_q8)
+    monkeypatch.setattr(FusedMLP, "apply_rays", count_bf)
+
+    step = make_train_step(cfg, rcfg, models, scene.hwf, feature_on=True)
+    from depth_lidar_nerf_tpu.train.loop import _make_patch_batch
+
+    patch = _make_patch_batch(cfg, scene, np.random.default_rng(0))
+    st2, m = step(state, rgb_t, dep_t, patch, vgg_p, jax.random.key(3))
+    assert calls["q8"] >= 1, calls  # the no-grad leg went int8
+    assert calls["bf16"] >= 1, calls  # grad leg + base render stayed bf16
+    assert np.isfinite(float(m["loss"]))
+    assert int(st2.step) == 1
+
+    # Flag off: no q8 dispatch anywhere in the same step variant.
+    calls["q8"] = 0
+    cfg_off = cfg.replace(patch_ng_int8=False)
+    step_off = make_train_step(cfg_off, rcfg, models, scene.hwf,
+                               feature_on=True)
+    state2 = init_train_state(cfg_off, rcfg, models, jax.random.key(0))
+    step_off(state2, rgb_t, dep_t, patch, vgg_p, jax.random.key(3))
+    assert calls["q8"] == 0, calls
