@@ -2,6 +2,7 @@
 
 from depth_lidar_nerf_tpu.models.nerf_mlp import NeRFMLP
 from depth_lidar_nerf_tpu.models.discriminator import (
+    DCDiscriminator,
     ESRDiscriminator,
     LSDiscriminator,
     BasicDiscriminator,
@@ -10,6 +11,7 @@ from depth_lidar_nerf_tpu.models.vgg import VGG19Features, vgg_normalize
 
 __all__ = [
     "NeRFMLP",
+    "DCDiscriminator",
     "ESRDiscriminator",
     "LSDiscriminator",
     "BasicDiscriminator",

@@ -92,13 +92,24 @@ def convert_discriminator(variables, sd: Dict[str, np.ndarray],
     """Reference discriminator state_dict -> the matching Flax module.
 
     ``arch``: "esr" (``discriminator.py:19-61``, what the train loop
-    instantiates), "ls" (``:64-91``) or "basic" (``:93-117``). Conv kernels
-    go OIHW -> HWIO; the final linear's weight is permuted for the flatten
-    order; ``patch_hw`` is the (nH, nW) train patch the reference baked into
-    that linear's input size.
+    instantiates), "ls" (``:64-91``), "basic" (``:93-117``) or "dc"
+    (``:118-151``). Conv kernels go OIHW -> HWIO; the final linear's weight
+    is permuted for the flatten order; ``patch_hw`` is the (nH, nW) train
+    patch the reference baked into that linear's input size. The DC variant
+    is all bias-free convs and has no linear (its ``conv_out`` collapses the
+    4x4 map), so neither patch_hw nor a bias is consumed.
     """
-    conv_map, (lin_name, lin_key, ds) = _DISC_LAYOUTS[arch]
     tree = dict(variables["params"] if "params" in variables else variables)
+    if arch == "dc":
+        out = {}
+        for name, leaf in tree.items():
+            key = ("conv_out.weight" if name == "conv_out"
+                   else f"blocks.{int(name[len('block'):])}.weight")
+            w = np.asarray(sd[key])  # [O, I, 4, 4]
+            out[name] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0),
+                                               leaf["kernel"].dtype)}
+        return {"params": out} if "params" in variables else out
+    conv_map, (lin_name, lin_key, ds) = _DISC_LAYOUTS[arch]
     out = {}
     for name, leaf in tree.items():
         if name in conv_map:

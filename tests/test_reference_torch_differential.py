@@ -351,3 +351,34 @@ def test_eval_ssim_filter_size_zero_matches_reference(ref_eval, rng_np):
                          filter_size=0)
     got = ssim_np(a, b, max_val=1.0, filter_size=0)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_dc_discriminator_matches_reference(ref_disc, rng_np):
+    """The 4th discriminator variant (DCDiscriminator, discriminator.py:
+    118-151 — dead code upstream, run_nerf.py:1255): bias-free 4x4 stride-2
+    conv pyramid + VALID conv_out, weights converted through
+    convert_discriminator(arch="dc")."""
+    import jax
+
+    from depth_lidar_nerf_tpu.models.discriminator import DCDiscriminator
+    from depth_lidar_nerf_tpu.train.torch_import import convert_discriminator
+
+    tm = ref_disc.DCDiscriminator(in_dim=3, n_feat=128, img_size=32)
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    tm.eval()
+
+    ours = DCDiscriminator(in_dim=3, n_feat=128, img_size=32)
+    # 5 channels: the reference slices x[:, :in_dim]; ours must match.
+    x = rng_np.normal(size=(2, 32, 32, 5)).astype(np.float32)
+    variables = ours.init(jax.random.key(0), jnp.asarray(x))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_discriminator(variables, sd, arch="dc")
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        xin = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+        want = tm(xin).numpy()
+    assert got.shape == want.shape == (2, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
