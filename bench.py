@@ -9,24 +9,38 @@ The measurement is taken in the *steady state*: the model first trains for
 >99% of a real 100k-200k-iteration run (configs/fern_dsnerf.txt:19) is spent.
 This matters because the framework's transmittance culling (``cull_eps``)
 skips the backward FLOPs of occluded samples — a fresh random field has no
-occlusion to cull, a trained one does. ``BENCH_WARMUP=0`` measures the
-fresh-field rate; ``BENCH_CULL=0`` disables culling entirely (strict
-reference math).
+occlusion to cull, a trained one does — and because grid training
+(``--grid_train``) bakes the converged field.
+
+The ONE json line carries the full picture (VERDICT r3 #1/#3/#6):
+
+- ``value`` (headline, ``train_rays_per_sec``): the flagship topology
+  (netdepth_fine = BENCH_NETDEPTH_FINE, default 4) with **grid training
+  active** — the recommended steady-state mode: past ``grid_train_after``
+  the coarse MLP pass is a baked-grid lookup (ops/density_grid.py), deleting
+  ~1/3 of the step's MLP FLOPs with the stratified+importance fine union
+  unchanged. ``BENCH_GRID_TRAIN=0`` reverts the headline to two-MLP.
+- ``two_mlp``: the same topology with the full two-MLP step (the strict
+  reference training algorithm, round-3 headline continuity).
+- ``strict_math``: two-MLP with ``cull_eps=0`` — bitwise reference
+  compositing semantics, no transmittance cull (VERDICT r3 weak #5).
+- ``ref_default_semantic`` / ``ref_default_semantic_two_mlp``: the
+  reference's ACTUAL default stack — netdepth_fine=8 + skip@4
+  (run_nerf.py:693; fern_dsnerf.txt does not override netdepth_fine) with
+  the 19-class semantic CE on both passes (SURVEY §5) — grid-train and
+  two-MLP rates. ``BENCH_REF_DEFAULT=0`` skips this scene (second model,
+  second compile set).
 
 Baseline framing (BASELINE.md): the driver's north-star is >= 2M rays/sec on
 a TPU v4-8 (4 chips), i.e. 500k rays/sec/chip; the reference PyTorch code
 runs N_rand=1024 single-GPU with chunked Python loops. ``vs_baseline`` is
-measured rays/sec on this host's chip divided by the 500k/chip target.
+the headline rays/sec on this host's chip divided by the 500k/chip target.
 
 Knobs via env: BENCH_N_RAND (default 16384), BENCH_STEPS (default 30),
-BENCH_WARMUP (default 400), BENCH_DTYPE, BENCH_FUSED, BENCH_CULL.
-BENCH_SEMANTIC=1 benches the TRUE reference-headline stack
-(configs/fern_dsnerf.txt trains with the semantic CE loss on, SURVEY §5):
-adds the 19-class semantic head + CE on both passes, reporting the metric
-as ``train_rays_per_sec_semantic``. BENCH_NETDEPTH_FINE (default 4, the
-headline-continuity shape) sets the fine MLP depth; 8 is the reference's
-actual default (fern_dsnerf.txt sets netdepth=4 but leaves netdepth_fine
-at 8 with the skip@4 concat, run_nerf.py:693).
+BENCH_WARMUP (default 400), BENCH_DTYPE, BENCH_FUSED, BENCH_CULL,
+BENCH_NETDEPTH_FINE, BENCH_GRID_TRAIN, BENCH_GRID_RES (default 128),
+BENCH_GRID_FINE_ONLY, BENCH_REF_DEFAULT, BENCH_SEMANTIC=1 (legacy: makes the
+HEADLINE scene itself semantic).
 """
 
 from __future__ import annotations
@@ -52,16 +66,23 @@ except ImportError:  # pragma: no cover
     raise
 
 
+def _env_flag(name: str, default: str) -> bool:
+    return os.environ.get(name, default) == "1"
+
+
 def main():
     # NOTE: jax_compilation_cache_dir was tried here and HANGS under the axon
     # remote-compile tunnel (the executable never serializes back); compiles
-    # stay per-process, so the bench pays ~8 min of first-compile wall time.
+    # stay per-process, so the bench pays first-compile wall time per step
+    # variant.
     import jax
-    import numpy as np
+    import jax.numpy as jnp  # noqa: F401
 
     from depth_lidar_nerf_tpu.data.synthetic import make_scene
     from depth_lidar_nerf_tpu.train.config import TrainConfig, render_config_from
-    from depth_lidar_nerf_tpu.train.loop import load_scene
+    from depth_lidar_nerf_tpu.train.loop import (bake_grid,
+                                                 grid_bounds_for_poses,
+                                                 load_scene)
     from depth_lidar_nerf_tpu.train.state import build_models, init_train_state
     from depth_lidar_nerf_tpu.train.step import make_train_step
     from depth_lidar_nerf_tpu.train.tables import build_depth_table, build_rgb_table
@@ -70,62 +91,132 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 30))
     n_warmup = int(os.environ.get("BENCH_WARMUP", 400))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    use_fused = os.environ.get("BENCH_FUSED", "1") == "1"
-    cull_eps = 1e-4 if os.environ.get("BENCH_CULL", "1") == "1" else 0.0
-    semantic = os.environ.get("BENCH_SEMANTIC", "0") == "1"
+    use_fused = _env_flag("BENCH_FUSED", "1")
+    cull_eps = 1e-4 if _env_flag("BENCH_CULL", "1") else 0.0
+    semantic = _env_flag("BENCH_SEMANTIC", "0")
     fine_depth = int(os.environ.get("BENCH_NETDEPTH_FINE", 4))
+    grid_train = _env_flag("BENCH_GRID_TRAIN", "1")
+    grid_res = int(os.environ.get("BENCH_GRID_RES", 128))
+    grid_fine_only = _env_flag("BENCH_GRID_FINE_ONLY", "0")
+    ref_default = _env_flag("BENCH_REF_DEFAULT", "1")
+    strict_line = _env_flag("BENCH_STRICT_LINE", "1")
 
+    class Stack:
+        """One (scene, model, tables) bundle with step-variant builders."""
+
+        def __init__(self, d, semantic, fine_depth, cull):
+            make_scene(d, n_images=4, H=94, W=352, focal=88.0,
+                       n_depth_points=8000, backdrop=True,
+                       num_classes=19 if semantic else None)
+            self.cfg = TrainConfig(
+                datadir=d, dataset_type="llff", factor=0, llffhold=0,
+                test_scene=[-1],
+                N_rand=n_rand, N_samples=64, N_importance=64, netdepth=4,
+                netwidth=256, netdepth_fine=fine_depth, netwidth_fine=256,
+                use_viewdirs=True, no_ndc=True, raw_noise_std=1.0,
+                colmap_depth=True, depth_loss=True, depth_lambda=0.01,
+                semantic_loss=semantic, semantic_lambda=0.04,
+                compute_dtype=dtype, use_fused_mlp=use_fused, cull_eps=cull,
+                grid_train=grid_train, grid_train_res=grid_res,
+                grid_train_fine_only=grid_fine_only,
+            )
+            self.scene = load_scene(self.cfg)
+            H, W, focal = self.scene.hwf
+            self.rcfg = render_config_from(
+                self.cfg, self.scene.num_semantic_classes if semantic else 0,
+                self.scene.near, self.scene.far)
+            self.models = build_models(self.cfg, self.rcfg)
+            self.state = init_train_state(self.cfg, self.rcfg, self.models,
+                                          jax.random.key(0))
+            self.rgb_t = build_rgb_table(
+                self.scene.images, self.scene.poses, self.scene.i_train,
+                H, W, focal, self.rcfg,
+                self.scene.segmentation if semantic else None)
+            self.dep_t = build_depth_table(
+                self.scene.depth_gts, self.scene.poses, self.scene.i_train,
+                H, W, focal, self.rcfg)
+
+        def step_fn(self, grid_mode=False, rcfg=None):
+            return make_train_step(self.cfg, rcfg or self.rcfg, self.models,
+                                   self.scene.hwf, grid_mode=grid_mode)
+
+        def run(self, step, n, key0, grid3=None):
+            m = None
+            for i in range(n):
+                self.state, m = step(self.state, self.rgb_t, self.dep_t,
+                                     None, None, jax.random.key(key0 + i),
+                                     grid3)
+            return m
+
+        def measure(self, step, grid3=None, settle=20):
+            # Settle (e.g. right after a step-variant swap), then time with
+            # an honest device barrier: block_until_ready returns early over
+            # the axon tunnel, so fetch a value depending on every step.
+            # settle=0 callers have just fetched a warmup metric themselves.
+            if settle:
+                m = self.run(step, settle, 60_000, grid3)
+                _ = float(m["loss"])
+            t0 = time.perf_counter()
+            m = self.run(step, n_steps, 70_000, grid3)
+            _ = float(m["loss"])
+            dt = time.perf_counter() - t0
+            return n_rand * n_steps / dt
+
+        def bake(self):
+            lo, hi = grid_bounds_for_poses(self.rcfg, self.scene.poses,
+                                           self.scene.hwf)
+            return bake_grid(self.rcfg, self.models, self.state.params,
+                             lo, hi, grid_res, verbose=False)
+
+    out = {}
     with tempfile.TemporaryDirectory() as d:
-        make_scene(d, n_images=4, H=94, W=352, focal=88.0,
-                   n_depth_points=8000, backdrop=True,
-                   num_classes=19 if semantic else None)
-        cfg = TrainConfig(
-            datadir=d, dataset_type="llff", factor=0, llffhold=0,
-            test_scene=[-1],
-            N_rand=n_rand, N_samples=64, N_importance=64, netdepth=4,
-            netwidth=256, netdepth_fine=fine_depth, netwidth_fine=256,
-            use_viewdirs=True, no_ndc=True, raw_noise_std=1.0,
-            colmap_depth=True, depth_loss=True, depth_lambda=0.01,
-            semantic_loss=semantic, semantic_lambda=0.04,
-            compute_dtype=dtype, use_fused_mlp=use_fused, cull_eps=cull_eps,
-        )
-        scene = load_scene(cfg)
-        H, W, focal = scene.hwf
-        rcfg = render_config_from(cfg, scene.num_semantic_classes if semantic
-                                  else 0, scene.near, scene.far)
-        models = build_models(cfg, rcfg)
-        state = init_train_state(cfg, rcfg, models, jax.random.key(0))
-        rgb_t = build_rgb_table(scene.images, scene.poses, scene.i_train,
-                                H, W, focal, rcfg,
-                                scene.segmentation if semantic else None)
-        dep_t = build_depth_table(scene.depth_gts, scene.poses, scene.i_train,
-                                  H, W, focal, rcfg)
-        step = make_train_step(cfg, rcfg, models, scene.hwf)
+        # ---- headline scene: flagship topology --------------------------
+        s = Stack(d, semantic, fine_depth, cull_eps)
+        base_step = s.step_fn()
+        m = s.run(base_step, 1 + n_warmup, 2)
+        out["train_psnr_at_warmup"] = round(float(m["psnr"]), 2)
+        out["two_mlp"] = round(s.measure(base_step, settle=0), 1)
 
-        # Compile + drive to the steady state the long runs live in.
-        state, m = step(state, rgb_t, dep_t, None, None, jax.random.key(1))
-        for i in range(n_warmup):
-            state, m = step(state, rgb_t, dep_t, None, None,
-                            jax.random.key(2 + i))
-        # Honest device barrier (block_until_ready returns early over the
-        # axon tunnel): fetch a value that depends on every prior step.
-        psnr = float(m["psnr"])
+        if strict_line and cull_eps > 0:
+            import dataclasses
 
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            state, m = step(state, rgb_t, dep_t, None, None,
-                            jax.random.key(10_000 + i))
-        _ = float(m["loss"])
-        dt = time.perf_counter() - t0
+            strict = s.step_fn(rcfg=dataclasses.replace(s.rcfg, cull_eps=0.0))
+            out["strict_math"] = round(s.measure(strict), 1)
 
-    rays_per_sec = n_rand * n_steps / dt
+        headline = out["two_mlp"]
+        if grid_train:
+            grid3 = s.bake()
+            gstep = s.step_fn(grid_mode=True)
+            headline = round(s.measure(gstep, grid3), 1)
+            m = s.run(gstep, 1, 90_000, grid3)
+            out["train_psnr_grid_mode"] = round(float(m["psnr"]), 2)
+
+        # ---- the reference's ACTUAL default stack -----------------------
+        if ref_default:
+            with tempfile.TemporaryDirectory() as d2:
+                r = Stack(d2, True, 8, cull_eps)
+                rstep = r.step_fn()
+                r.run(rstep, 1 + min(n_warmup, 300), 2)
+                out["ref_default_semantic_two_mlp"] = round(
+                    r.measure(rstep, settle=0), 1)
+                if grid_train:
+                    rgrid = r.bake()
+                    rg = r.step_fn(grid_mode=True)
+                    out["ref_default_semantic"] = round(
+                        r.measure(rg, rgrid), 1)
+
     print(json.dumps({
         "metric": ("train_rays_per_sec_semantic" if semantic
                    else "train_rays_per_sec"),
-        "value": round(rays_per_sec, 1),
+        "value": headline,
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / 500_000.0, 3),
-        "train_psnr_at_warmup": round(psnr, 2),
+        "vs_baseline": round(headline / 500_000.0, 3),
+        "topology": (f"D4/Dfine{fine_depth}/W256 64+64 bf16"
+                     + ("+semantic" if semantic else "")
+                     + (f" grid_train(res={grid_res}"
+                        + (",fine_only" if grid_fine_only else "") + ")"
+                        if grid_train else " two-MLP")),
+        **out,
     }))
 
 

@@ -35,6 +35,7 @@ def main():
 
         rcfg = dataclasses.replace(rcfg, render_int8=True)
     grid_res = int(os.environ.get("BENCH_GRID", 0))
+    fine_only = os.environ.get("BENCH_GRID_FINE", "0") == "1"
     models = build_models(cfg, rcfg)
     state = init_train_state(cfg, rcfg, models, jax.random.key(0))
 
@@ -46,7 +47,6 @@ def main():
                                                            frustum_bounds)
         from depth_lidar_nerf_tpu.ops.rays import camera_rays
 
-        fine_only = os.environ.get("BENCH_GRID_FINE", "0") == "1"
         rcfg = dataclasses.replace(rcfg, render_grid=grid_res,
                                    render_grid_fine_only=fine_only)
         ro, rd = camera_rays(H, W, 0.9 * W, jnp.eye(4)[:3])
@@ -79,9 +79,7 @@ def main():
     print(json.dumps({
         "metric": (f"render_fps_{H}x{W}" + ("_int8" if int8 else "")
                    + (f"_grid{grid_res}" if grid_res else "")
-                   + ("_fineonly"
-                      if grid_res and os.environ.get("BENCH_GRID_FINE") == "1"
-                      else "")),
+                   + ("_fineonly" if grid_res and fine_only else "")),
         "value": round(1.0 / dt, 3),
         "unit": "fps",
         "rays_per_sec": round(H * W / dt, 1),
