@@ -17,9 +17,10 @@ The ONE json line carries the full picture (VERDICT r3 #1/#3/#6):
 - ``value`` (headline, ``train_rays_per_sec``): the flagship topology
   (netdepth_fine = BENCH_NETDEPTH_FINE, default 4) with **grid training
   active** — the recommended steady-state mode: past ``grid_train_after``
-  the coarse MLP pass is a baked-grid lookup (ops/density_grid.py), deleting
-  ~1/3 of the step's MLP FLOPs with the stratified+importance fine union
-  unchanged. ``BENCH_GRID_TRAIN=0`` reverts the headline to two-MLP.
+  the coarse MLP pass becomes a row gather + inverse-CDF over per-ray
+  weights baked from the live fine model (ops/ray_cdf.py), deleting ~1/3 of
+  the step's MLP FLOPs with the stratified+importance fine union unchanged.
+  ``BENCH_GRID_TRAIN=0`` reverts the headline to two-MLP.
 - ``two_mlp``: the same topology with the full two-MLP step (the strict
   reference training algorithm, round-3 headline continuity).
 - ``strict_math``: two-MLP with ``cull_eps=0`` — bitwise reference
@@ -80,9 +81,7 @@ def main():
 
     from depth_lidar_nerf_tpu.data.synthetic import make_scene
     from depth_lidar_nerf_tpu.train.config import TrainConfig, render_config_from
-    from depth_lidar_nerf_tpu.train.loop import (bake_grid,
-                                                 grid_bounds_for_poses,
-                                                 load_scene)
+    from depth_lidar_nerf_tpu.train.loop import load_scene
     from depth_lidar_nerf_tpu.train.state import build_models, init_train_state
     from depth_lidar_nerf_tpu.train.step import make_train_step
     from depth_lidar_nerf_tpu.train.tables import build_depth_table, build_rgb_table
@@ -163,10 +162,11 @@ def main():
             return n_rand * n_steps / dt
 
         def bake(self):
-            lo, hi = grid_bounds_for_poses(self.rcfg, self.scene.poses,
-                                           self.scene.hwf)
-            return bake_grid(self.rcfg, self.models, self.state.params,
-                             lo, hi, grid_res, verbose=False)
+            from depth_lidar_nerf_tpu.ops.ray_cdf import bake_ray_cdf
+
+            s_cdf = self.cfg.grid_train_samples or self.cfg.N_samples
+            return bake_ray_cdf(self.models, self.state.params, self.rcfg,
+                                self.rgb_t, self.dep_t, s_cdf)
 
     out = {}
     with tempfile.TemporaryDirectory() as d:
@@ -213,7 +213,7 @@ def main():
         "vs_baseline": round(headline / 500_000.0, 3),
         "topology": (f"D4/Dfine{fine_depth}/W256 64+64 bf16"
                      + ("+semantic" if semantic else "")
-                     + (f" grid_train(res={grid_res}"
+                     + (" grid_train(ray-cdf"
                         + (",fine_only" if grid_fine_only else "") + ")"
                         if grid_train else " two-MLP")),
         **out,

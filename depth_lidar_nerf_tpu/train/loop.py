@@ -137,12 +137,16 @@ def _make_patch_batch(cfg, scene, host_rng) -> PatchBatch:
     start_w = int(host_rng.integers(0, W - cfg.nW + 1))
     perm = host_rng.permutation(cfg.nH * cfg.nW).astype(np.int32)
     gt = scene.images[img_i][start_h:start_h + cfg.nH, start_w:start_w + cfg.nW]
+    # Table-order image position (rgb table is built over i_train in order);
+    # grid-mode patch legs use it to map patch pixels to table rows.
+    img_pos = int(np.flatnonzero(np.asarray(scene.i_train) == img_i)[0])
     return PatchBatch(
         c2w=jnp.asarray(scene.poses[img_i], jnp.float32),
         gt_patch=jnp.asarray(gt, jnp.float32),
         start_h=jnp.float32(start_h),
         start_w=jnp.float32(start_w),
         perm=jnp.asarray(perm),
+        img=jnp.int32(img_pos),
     )
 
 
@@ -433,15 +437,19 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
         else:
             fns.append((plan.select(job[2])[0], job))
 
-    # Grid variants warm against a placeholder grid of the real shape (the
-    # compiled program only depends on shapes, and the warm state is a
+    # Grid variants warm against a placeholder ray-CDF of the real shape
+    # (the compiled program only depends on shapes, and the warm state is a
     # throwaway clone anyway).
     dummy_grid = None
     if cfg.grid_train:
-        R = cfg.grid_train_res
-        dummy_grid = (jnp.zeros((R, R, R), jnp.float32),
-                      jnp.zeros((3,), jnp.float32),
-                      jnp.ones((3,), jnp.float32))
+        from depth_lidar_nerf_tpu.ops.ray_cdf import RayCDF, cdf_z_grid
+
+        S = cfg.grid_train_samples or cfg.N_samples
+        dummy_grid = RayCDF(
+            jnp.ones((rgb_table.origins.shape[0], S), jnp.bfloat16),
+            (jnp.ones((depth_table.origins.shape[0], S), jnp.bfloat16)
+             if depth_table is not None else None),
+            cdf_z_grid(rcfg, S))
 
     # One never-donated master clone, taken BEFORE the first real step can
     # donate the live state's buffers.
@@ -671,11 +679,15 @@ def train(cfg: TrainConfig):
 
     k_max = dispatch_k_max(cfg)
 
-    # --grid_train: past grid_train_after the coarse MLP pass is replaced by
-    # a trilinear lookup of this grid, re-baked from the live fine params
-    # every grid_rebake_every steps (~0.7 step-equivalents of forward FLOPs
-    # per bake at 128^3). Bounds cover every pose the run can touch (train +
-    # test + spiral path), so eval renders can use the same grid.
+    # --grid_train: past grid_train_after the coarse MLP pass of the train
+    # step is replaced by an inverse-CDF over per-ray weights baked from the
+    # live fine model along every table ray (ops/ray_cdf.py — batched MLP
+    # forward at bake time, one row gather per step; a 3-D grid lookup was
+    # measured slower than the coarse MLP it replaced, PERF.md round 4).
+    # Eval renders use the 3-D sigma grid serving path (arbitrary rays are
+    # not table rows), re-baked alongside; its bounds cover every pose the
+    # run can touch (train + test + spiral path).
+    grid_cdf = None
     grid3 = None
     grid_last_bake = -1
     grid_bounds = None
@@ -687,25 +699,29 @@ def train(cfg: TrainConfig):
         grid_bounds = grid_bounds_for_poses(
             rcfg, np.concatenate(bound_poses), scene.hwf)
         rcfg_r_grid = dataclasses.replace(
-            rcfg_r, render_grid=cfg.grid_train_res,
-            render_grid_fine_only=cfg.grid_train_fine_only,
-            render_grid_samples=cfg.grid_train_samples)
+            rcfg_r, render_grid=cfg.grid_train_res)
 
     def _rebake(i):
-        nonlocal grid3, grid_last_bake
+        nonlocal grid_cdf, grid3, grid_last_bake
+        from depth_lidar_nerf_tpu.ops.ray_cdf import bake_ray_cdf
+
+        s_cdf = cfg.grid_train_samples or cfg.N_samples
+        grid_cdf = bake_ray_cdf(models, state.params, rcfg, rgb_table,
+                                depth_table, s_cdf)
         grid3 = bake_grid(rcfg, models, state.params, grid_bounds[0],
                           grid_bounds[1], cfg.grid_train_res,
                           verbose=(grid_last_bake < 0))
         if mesh is not None:
             from depth_lidar_nerf_tpu.parallel.mesh import replicate
 
+            grid_cdf = replicate(mesh, grid_cdf)
             grid3 = replicate(mesh, grid3)
         grid_last_bake = i
 
     def _eval_view(params):
         """(params, rcfg) for eval renders: once grid training is active the
         coarse MLP is stale (it stopped receiving gradients), so eval frames
-        must render through the grid too."""
+        must render through the baked grid instead."""
         if grid3 is None:
             return params, rcfg_r
         return {**params, "density_grid": grid3}, rcfg_r_grid
@@ -730,7 +746,7 @@ def train(cfg: TrainConfig):
     while i <= cfg.N_iters:
         key = plan.variant_key(i)
         grid_on = len(key) > 4 and key[4]
-        if grid_on and (grid3 is None
+        if grid_on and (grid_cdf is None
                         or i - grid_last_bake >= cfg.grid_rebake_every):
             _rebake(i)
         k = dispatch_block_len(cfg, plan, i, key, k_max)
@@ -739,14 +755,14 @@ def train(cfg: TrainConfig):
             state, metrics = step_fn(
                 state, rgb_table, depth_table, None, vgg_params, rng,
                 jnp.arange(i, i + k, dtype=jnp.int32),
-                grid3 if grid_on else None)
+                grid_cdf if grid_on else None)
             metrics = {kk: v[-1] for kk, v in metrics.items()}
         else:
             step_fn, needs_patch = plan.select(i)
             patch = patch_source if needs_patch else None
             state, metrics = step_fn(state, rgb_table, depth_table, patch,
                                      vgg_params, jax.random.fold_in(rng, i),
-                                     grid3 if grid_on else None)
+                                     grid_cdf if grid_on else None)
         rays_done += cfg.N_rand * k
         i += k - 1  # i = last iteration of the block for event handling
 

@@ -28,9 +28,10 @@ import optax
 
 from depth_lidar_nerf_tpu.models.vgg import vgg_normalize
 from depth_lidar_nerf_tpu.ops.rays import patch_ray_dirs
-from depth_lidar_nerf_tpu.ops.sampling import stratified_z_vals
+from depth_lidar_nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
 from depth_lidar_nerf_tpu.render.renderer import (
     RenderConfig,
+    _composite_from_z,
     make_rays,
     pick_render_tile,
     query_network,
@@ -57,6 +58,10 @@ class PatchBatch(NamedTuple):
     start_h: jnp.ndarray  # scalar f32 crop origin (traced: no recompiles)
     start_w: jnp.ndarray  # scalar f32
     perm: jnp.ndarray  # [nH * nW] int32; first gradH*gradW entries get grads
+    # TABLE-ORDER image position (index within i_train as the rgb table was
+    # built) — grid-mode patch legs map patch pixels to table rows for the
+    # baked per-ray CDF (ops/ray_cdf.py). None outside grid mode is fine.
+    img: Optional[jnp.ndarray] = None  # scalar int32
 
 
 class PatchSource(NamedTuple):
@@ -84,8 +89,10 @@ def sample_patch(src: PatchSource, key, nH: int, nW: int) -> PatchBatch:
     gt = jax.lax.dynamic_slice(src.images[img],
                                (sh, sw, jnp.int32(0)), (nH, nW, 3))
     perm = jax.random.permutation(k4, nH * nW).astype(jnp.int32)
+    # PatchSource images are scene.images[i_train] — the same order the rgb
+    # table was built in — so `img` IS the table image position.
     return PatchBatch(src.poses[img], gt, sh.astype(jnp.float32),
-                      sw.astype(jnp.float32), perm)
+                      sw.astype(jnp.float32), perm, img.astype(jnp.int32))
 
 
 class StepFns(NamedTuple):
@@ -149,16 +156,19 @@ def make_train_step(
     """Build one jitted step for a given loss-schedule variant.
 
     With ``grid_mode`` (``--grid_train``, active past ``grid_train_after``)
-    the step takes a trailing ``grid3 = (grid [R,R,R], lo [3], hi [3])``
-    argument — the fine model's sigma field baked by the driver — and the
-    coarse pass becomes a trilinear lookup (ops/density_grid.py) instead of
-    the coarse MLP: the coarse MLP's forward AND backward disappear from the
-    program, and with them the ``img_loss0`` / coarse-semantic/patch-coarse
-    terms whose only purpose was training that MLP's placement field
-    (run_nerf.py:571-600, 1759-1762). The fine pass is unchanged (it still
-    evaluates the stratified+importance union unless
+    the step takes a trailing ``aux: ops.ray_cdf.RayCDF`` argument — the
+    fine model's compositing weights baked along every table ray by the
+    driver — and the coarse pass becomes one [N, S_cdf] row gather +
+    inverse-CDF instead of the coarse MLP: the coarse MLP's forward AND
+    backward disappear from the program, and with them the ``img_loss0`` /
+    coarse-semantic/patch-coarse terms whose only purpose was training that
+    MLP's placement field (run_nerf.py:571-600, 1759-1762). The fine pass
+    is unchanged (it still evaluates the stratified+importance union unless
     ``grid_train_fine_only``), so the trajectory differs from two-MLP
-    training only through the importance-sample placement.
+    training only through the importance-sample placement. (A 3-D-grid
+    trilinear coarse pass was built and measured first: XLA's TPU gather ran
+    the 8-corner lookup at [16k, 64] in 61 ms vs the 43 ms full step —
+    see ops/ray_cdf.py and PERF.md round 4.)
 
     With ``mesh``, the gathered ray batch is sharding-constrained over the
     mesh's ray axis so GSPMD partitions render + backward data-parallel and
@@ -186,28 +196,68 @@ def make_train_step(
     optimizer = make_optimizer(cfg)
     disc_opt = make_disc_optimizer(cfg)
     coarse_on = cfg.N_importance > 0 and not cfg.no_coarse and not grid_mode
-    if grid_mode:
-        if cfg.N_importance <= 0:
-            raise ValueError("grid_train needs a fine pass (N_importance > 0)")
-        # render_rays dispatches to its grid branch when the params carry a
-        # density_grid AND render_grid > 0 on the (static) config.
-        rcfg = dataclasses.replace(
-            rcfg, render_grid=cfg.grid_train_res,
-            render_grid_fine_only=cfg.grid_train_fine_only,
-            render_grid_samples=cfg.grid_train_samples)
+    if grid_mode and cfg.N_importance <= 0:
+        raise ValueError("grid_train needs a fine pass (N_importance > 0)")
+    fine_only = grid_mode and cfg.grid_train_fine_only
+
+    def _cdf_render(params, rays, w, z_grid, rng, save_acts,
+                    rcfg_r: RenderConfig = rcfg):
+        """Grid-mode render: fine pass only; importance samples come from
+        the baked per-ray weights (ops/ray_cdf.py) instead of a coarse MLP
+        pass. ``w [N, S_cdf]`` are the rays' table rows, gathered by the
+        caller with the same row-gather the step uses for origins."""
+        k_strat, k_pdf, k_noise = jax.random.split(rng, 3)
+        n = w.shape[0]
+        w32 = w.astype(jnp.float32)
+        z_mid = 0.5 * (z_grid[1:] + z_grid[:-1])
+        z_samples = sample_pdf(
+            jnp.broadcast_to(z_mid, (n, z_mid.shape[0])), w32[:, 1:-1],
+            cfg.N_importance, det=not rcfg_r.perturb, rng=k_pdf)
+        z_samples = jax.lax.stop_gradient(z_samples)
+        if fine_only:
+            z_all = jnp.sort(z_samples, axis=-1)
+        else:
+            z_vals = stratified_z_vals(
+                rays.near, rays.far, cfg.N_samples, lindisp=rcfg_r.lindisp,
+                perturb=rcfg_r.perturb, rng=k_strat)
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
+                             axis=-1)
+        # Forward-cull sort key (same heuristic as render_rays'): expected
+        # termination depth from the baked weights; unterminated rays last.
+        fine_key = None
+        if rcfg_r.cull_eps > 0.0:
+            acc = jnp.sum(w32, axis=-1)
+            depth_est = jnp.sum(w32 * z_grid, axis=-1) / jnp.maximum(acc, 1e-6)
+            fine_key = depth_est + (1.0 - acc) * 1e6
+        fm = models.fine if models.fine is not None else models.coarse
+        fp = params["fine"] if models.fine is not None else params["coarse"]
+        fine = _composite_from_z(fm, fp, rays, z_all, rcfg_r, k_noise,
+                                 fwd_sort_key=fine_key, save_acts=save_acts)
+        out = {"rgb_map": fine.rgb, "disp_map": fine.disp,
+               "acc_map": fine.acc, "depth_map": fine.depth,
+               "weights": fine.weights}
+        if fine.semantic is not None:
+            out["sem_preds"] = fine.semantic
+        return out
+
+    def _patch_rows(patch):
+        """Map patch pixels to rgb-table rows (scanline order pre-perm)."""
+        rr, cc = jnp.meshgrid(jnp.arange(cfg.nH, dtype=jnp.int32),
+                              jnp.arange(cfg.nW, dtype=jnp.int32),
+                              indexing="ij")
+        rows = (patch.img * (H * W)
+                + (patch.start_h.astype(jnp.int32) + rr) * W
+                + (patch.start_w.astype(jnp.int32) + cc))
+        return rows.reshape(-1)[patch.perm]  # perm order, like the rays
     if patch_mode and (cfg.nH > H or cfg.nW > W):
         # The in-jit sampler (sample_patch) would clamp its dynamic_slice and
         # silently train on crops mismatched against patch_ray_dirs.
         raise ValueError(f"patch {cfg.nH}x{cfg.nW} larger than image {H}x{W}")
 
     def loss_fn(params, state_step, rgb_table, depth_table, patch, ng_patch,
-                vgg_params, disc_params, rng, grid3=None):
+                vgg_params, disc_params, rng, aux=None):
         keys = jax.random.split(rng, 8)
         metrics = {}
-        # The baked grid rides along with the differentiated params (it is a
-        # constant w.r.t. the grad — sample placement is stop_gradient'ed in
-        # render_rays anyway).
-        rparams = {**params, "density_grid": grid3} if grid_mode else params
 
         # ---- ray batch: uniform gather from the device-resident tables ----
         if cfg.no_batching:
@@ -247,8 +297,17 @@ def make_train_step(
             rays_all = rays
         rays_all = shard_rays(rays_all)
 
-        out = render_rays(models.coarse, models.fine, rparams, rays_all, rcfg,
-                          rng=keys[2])
+        if grid_mode:
+            # "Coarse pass" = one [N, S_cdf] row gather of the baked
+            # weights + inverse-CDF (ops/ray_cdf.py) — no coarse MLP.
+            w_all = aux.w_rgb[idx]
+            if n_depth > 0:
+                w_all = jnp.concatenate([w_all, aux.w_depth[idx_d]], axis=0)
+            out = _cdf_render(params, rays_all, shard_rays(w_all), aux.z,
+                              keys[2], save_acts=True)
+        else:
+            out = render_rays(models.coarse, models.fine, params, rays_all,
+                              rcfg, rng=keys[2])
 
         rgb = out["rgb_map"][:n_rgb]
         img_loss = losses.img2mse(rgb, target_s)
@@ -305,8 +364,14 @@ def make_train_step(
             prays = make_rays(ro, rd, rcfg, H, W, focal)
             grad_rays = shard_rays(
                 jax.tree.map(lambda x: x[patch.perm[:n_grad]], prays))
-            g_out = render_rays(models.coarse, models.fine, rparams, grad_rays,
-                                rcfg, rng=keys[4])
+            if grid_mode:
+                rows_p = _patch_rows(patch)
+                g_out = _cdf_render(params, grad_rays,
+                                    shard_rays(aux.w_rgb[rows_p[:n_grad]]),
+                                    aux.z, keys[4], save_acts=True)
+            else:
+                g_out = render_rays(models.coarse, models.fine, params,
+                                    grad_rays, rcfg, rng=keys[4])
 
             def stack_fc(o, key, key0):
                 # Grid mode drops the coarse legs of the patch losses (the
@@ -398,14 +463,21 @@ def make_train_step(
     rcfg_ng = (dataclasses.replace(rcfg, render_int8=True)
                if cfg.patch_ng_int8 else rcfg)
 
-    def ng_render(params, patch, rng, grid3=None):
+    def ng_render(params, patch, rng, aux=None):
         """No-grad patch subset on stop_gradient params, HBM-tiled."""
         ro, rd = patch_ray_dirs(H, W, focal, patch.c2w, patch.start_h,
                                 patch.start_w, cfg.nH, cfg.nW)
         prays = make_rays(ro, rd, rcfg_ng, H, W, focal)
         ng_rays = shard_rays(jax.tree.map(lambda x: x[patch.perm[n_grad:]], prays))
-        p = jax.lax.stop_gradient(
-            {**params, "density_grid": grid3} if grid_mode else params)
+        p = jax.lax.stop_gradient(params)
+        if grid_mode:
+            # Fine pass only; the fused primal streams activations through
+            # VMEM (save_acts off — nothing differentiates this leg), so no
+            # ray tiling is needed even at full-image patches.
+            rows_p = _patch_rows(patch)
+            w = jax.lax.stop_gradient(aux.w_rgb[rows_p[n_grad:]])
+            return _cdf_render(p, ng_rays, shard_rays(w), aux.z, rng,
+                               save_acts=False, rcfg_r=rcfg_ng)
         # Eval-mode tiles: the no-grad render dominates patch iterations
         # (run_nerf.py:1600-1644 equivalent), and the primal-only fused
         # forward keeps no activations, so the 16k-ray render sweet spot is
@@ -457,7 +529,7 @@ def make_train_step(
         @functools.partial(jax.jit, donate_argnums=(0,))
         def multi_step_fn(state: TrainState, rgb_table: RgbRayTable,
                           depth_table: Optional[DepthRayTable],
-                          patch, vgg_params, rng, iters, grid3=None):
+                          patch, vgg_params, rng, iters, aux=None):
             del patch
 
             def body(st, it):
@@ -468,7 +540,7 @@ def make_train_step(
                 grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
                 (_, (metrics, _)), grads = grad_fn(
                     st.params, st.step, rgb_table, depth_table, None, None,
-                    vgg_params, st.disc_params, k_loss, grid3)
+                    vgg_params, st.disc_params, k_loss, aux)
                 upd, new_opt = optimizer.update(grads, st.opt_state,
                                                 st.params)
                 st = st.replace(
@@ -483,20 +555,20 @@ def make_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, rgb_table: RgbRayTable,
                 depth_table: Optional[DepthRayTable],
-                patch: Optional[PatchBatch], vgg_params, rng, grid3=None):
+                patch: Optional[PatchBatch], vgg_params, rng, aux=None):
         k_ng, k_loss, k_disc = jax.random.split(rng, 3)
         pre_update_step = state.step
         if patch_mode and isinstance(patch, PatchSource):
             # In-jit patch sampling: no per-iteration host uploads.
             patch = sample_patch(patch, jax.random.fold_in(rng, 17),
                                  cfg.nH, cfg.nW)
-        ng_patch = (ng_render(state.params, patch, k_ng, grid3)
+        ng_patch = (ng_render(state.params, patch, k_ng, aux)
                     if patch_mode else None)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, rendered_patch)), grads = grad_fn(
             state.params, state.step, rgb_table, depth_table, patch, ng_patch,
-            vgg_params, state.disc_params, k_loss, grid3,
+            vgg_params, state.disc_params, k_loss, aux,
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = constrain_params(optax.apply_updates(state.params, updates))

@@ -116,17 +116,19 @@ def test_grid_step_drops_coarse_loss_terms(scene_dir, tmp_path):
                               H, W, focal, rcfg)
 
     two = make_train_step(cfg, rcfg, models, scene.hwf)
-    _, m_two = two(state, rgb_t, dep_t, None, None, jax.random.key(1))
+    # the step donates its state argument — keep the returned one
+    state, m_two = two(state, rgb_t, dep_t, None, None, jax.random.key(1))
     assert "img_loss0" in m_two and "semantic_loss0" in m_two
 
-    R = cfg.grid_train_res
-    grid3 = (jnp.full((R, R, R), 0.25, jnp.float32),
-             jnp.asarray([-3.0, -3.0, -1.0], jnp.float32),
-             jnp.asarray([3.0, 3.0, 9.0], jnp.float32))
+    from depth_lidar_nerf_tpu.ops.ray_cdf import bake_ray_cdf
+
+    cdf = bake_ray_cdf(models, state.params, rcfg, rgb_t, dep_t,
+                       cfg.N_samples)
+    assert cdf.w_rgb.shape == (rgb_t.origins.shape[0], cfg.N_samples)
     state2 = init_train_state(cfg, rcfg, models, jax.random.key(0))
     gstep = make_train_step(cfg, rcfg, models, scene.hwf, grid_mode=True)
     _, m_grid = gstep(state2, rgb_t, dep_t, None, None, jax.random.key(1),
-                      grid3)
+                      cdf)
     assert "img_loss0" not in m_grid and "psnr0" not in m_grid
     assert "semantic_loss0" not in m_grid
     assert "semantic_loss" in m_grid
