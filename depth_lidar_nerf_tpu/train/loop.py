@@ -840,6 +840,13 @@ def train(cfg: TrainConfig):
         jax.profiler.stop_trace()
     save_state(mgr, state, cfg.N_iters)
     mgr.wait_until_finished()
+    # Release the manager's background machinery and the TB event thread:
+    # orbax keeps a non-daemon worker alive per open manager, which keeps
+    # the *interpreter* alive after pytest prints its summary (observed as a
+    # >5 min hang after [100%] in round 3's review).
+    mgr.close()
+    if writer:
+        writer.close()
     return state
 
 

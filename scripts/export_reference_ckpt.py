@@ -81,6 +81,7 @@ def main():
     step = int(state.step)
     out = ns.out or os.path.join(cfg.basedir, cfg.expname, f"{step:06d}.tar")
     export_reference_checkpoint(state, out)
+    mgr.close()  # orbax keeps a non-daemon worker alive per open manager
 
 
 if __name__ == "__main__":

@@ -43,6 +43,14 @@ def main():
     ap.add_argument("--grid-after", type=int, default=500)
     ap.add_argument("--grid-rebake", type=int, default=500)
     ap.add_argument("--grid-res", type=int, default=128)
+    ap.add_argument("--grid-fine-only", action="store_true",
+                    help="past the warmup the fine pass evaluates ONLY the "
+                         "N_importance CDF-placed samples (no stratified "
+                         "union) — half the fine MLP evals; gate with this "
+                         "A/B")
+    ap.add_argument("--grid-samples", type=int, default=0,
+                    help="bake z-grid resolution (0 = N_samples); raise to "
+                         "sharpen the CDF when --grid-fine-only")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +80,9 @@ def main():
     if args.grid_train:
         cfg = cfg.replace(grid_train=True, grid_train_after=args.grid_after,
                           grid_rebake_every=args.grid_rebake,
-                          grid_train_res=args.grid_res)
+                          grid_train_res=args.grid_res,
+                          grid_train_fine_only=args.grid_fine_only,
+                          grid_train_samples=args.grid_samples)
     scene = L.load_scene(cfg)
     H, W, focal = scene.hwf
     rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near,
@@ -95,9 +105,12 @@ def main():
     t_train = 0.0
     t0_all = time.time()
 
-    # --grid-train state (mirrors train.loop): bake from the live fine
-    # params, re-bake every grid_rebake_every steps ON the clock (it is
-    # real train wall time), eval through the grid once active.
+    # --grid-train state (mirrors train.loop): bake the per-ray CDF tables
+    # (the step's coarse pass, ops/ray_cdf.py) AND the 3-D sigma grid (the
+    # holdout eval's serving path — eval rays are not table rows) from the
+    # live fine params, re-baked every grid_rebake_every steps ON the clock
+    # (it is real train wall time).
+    grid_cdf = None
     grid3 = None
     grid_last_bake = -1
     grid_bounds = None
@@ -106,10 +119,7 @@ def main():
         import dataclasses
 
         grid_bounds = L.grid_bounds_for_poses(rcfg, scene.poses, scene.hwf)
-        rcfg_grid = dataclasses.replace(
-            rcfg, render_grid=cfg.grid_train_res,
-            render_grid_fine_only=cfg.grid_train_fine_only,
-            render_grid_samples=cfg.grid_train_samples)
+        rcfg_grid = dataclasses.replace(rcfg, render_grid=cfg.grid_train_res)
 
     def holdout_psnr(params):
         ecfg = rcfg if grid3 is None else rcfg_grid
@@ -137,8 +147,13 @@ def main():
         key = plan.variant_key(i)
         grid_on = len(key) > 4 and key[4]
         t0 = time.time()
-        if grid_on and (grid3 is None
+        if grid_on and (grid_cdf is None
                         or i - grid_last_bake >= cfg.grid_rebake_every):
+            from depth_lidar_nerf_tpu.ops.ray_cdf import bake_ray_cdf
+
+            s_cdf = cfg.grid_train_samples or cfg.N_samples
+            grid_cdf = bake_ray_cdf(models, state.params, rcfg, rgb_t,
+                                    dep_t, s_cdf)
             grid3 = L.bake_grid(rcfg, models, state.params, grid_bounds[0],
                                 grid_bounds[1], cfg.grid_train_res,
                                 verbose=(grid_last_bake < 0))
@@ -148,14 +163,14 @@ def main():
             state, metrics = plan.get_multi(k, key[3], grid_on)(
                 state, rgb_t, dep_t, None, vgg_params, rng,
                 jnp.arange(i, i + k, dtype=jnp.int32),
-                grid3 if grid_on else None)
+                grid_cdf if grid_on else None)
             metrics = {kk: v[-1] for kk, v in metrics.items()}
         else:
             step_fn, needs_patch = plan.select(i)
             patch = patch_source if needs_patch else None
             state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
                                      jax.random.fold_in(rng, i),
-                                     grid3 if grid_on else None)
+                                     grid_cdf if grid_on else None)
         i += k - 1
         if i % 100 == 0 or i <= k:
             jax.block_until_ready(metrics["loss"])
