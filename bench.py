@@ -40,8 +40,9 @@ the headline rays/sec on this host's chip divided by the 500k/chip target.
 Knobs via env: BENCH_N_RAND (default 16384), BENCH_STEPS (default 30),
 BENCH_WARMUP (default 400), BENCH_DTYPE, BENCH_FUSED, BENCH_CULL,
 BENCH_NETDEPTH_FINE, BENCH_GRID_TRAIN, BENCH_GRID_RES (default 128),
-BENCH_GRID_FINE_ONLY, BENCH_REF_DEFAULT, BENCH_SEMANTIC=1 (legacy: makes the
-HEADLINE scene itself semantic).
+BENCH_GRID_FINE_ONLY, BENCH_GRID_SAMPLES (bake-CDF resolution, 0 = N_samples),
+BENCH_REF_DEFAULT, BENCH_SEMANTIC=1 (legacy: makes the HEADLINE scene itself
+semantic).
 """
 
 from __future__ import annotations
@@ -97,6 +98,7 @@ def main():
     grid_train = _env_flag("BENCH_GRID_TRAIN", "1")
     grid_res = int(os.environ.get("BENCH_GRID_RES", 128))
     grid_fine_only = _env_flag("BENCH_GRID_FINE_ONLY", "0")
+    grid_samples = int(os.environ.get("BENCH_GRID_SAMPLES", 0))
     ref_default = _env_flag("BENCH_REF_DEFAULT", "1")
     strict_line = _env_flag("BENCH_STRICT_LINE", "1")
 
@@ -118,6 +120,7 @@ def main():
                 compute_dtype=dtype, use_fused_mlp=use_fused, cull_eps=cull,
                 grid_train=grid_train, grid_train_res=grid_res,
                 grid_train_fine_only=grid_fine_only,
+                grid_train_samples=grid_samples,
             )
             self.scene = load_scene(self.cfg)
             H, W, focal = self.scene.hwf

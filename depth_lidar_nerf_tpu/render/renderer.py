@@ -79,6 +79,15 @@ class RenderConfig:
     # are bandwidth-trivial, so a finer CDF costs ~nothing and sharpens the
     # importance placement — useful with render_grid_fine_only.
     render_grid_samples: int = 0
+    # Fine-only serving WITHOUT a grid: the coarse MLP still runs (it places
+    # the importance samples) but the fine pass evaluates ONLY the
+    # N_importance CDF-placed samples instead of the stratified+importance
+    # union — per-ray MLP evals drop from N_samples + (N_samples +
+    # N_importance) to N_samples + N_importance, with zero gathers (the 3-D
+    # grid's trilinear lookup measured SLOWER than the coarse MLP it
+    # replaces on TPU — PERF.md round 4). Eval/serving only; the train loop
+    # never sets this on the training config.
+    render_fine_only: bool = False
 
     def render_tile(self, fused: bool = False) -> int:
         """Ray-tile size for :func:`render_rays_tiled` honoring both knobs.
@@ -327,8 +336,9 @@ def fused_eval_ready(model, fine_model, params, cfg: RenderConfig,
     if cfg.N_importance > 0:
         fm = fine_model if fine_model is not None else model
         fp = params["fine"] if fine_model is not None else params["coarse"]
-        s_fine = (cfg.N_importance
-                  if grid_serving and cfg.render_grid_fine_only
+        fine_only = (cfg.render_fine_only
+                     or (grid_serving and cfg.render_grid_fine_only))
+        s_fine = (cfg.N_importance if fine_only
                   else cfg.N_samples + cfg.N_importance)
         return pass_ok(fm, fp, s_fine)
     return True
@@ -398,9 +408,10 @@ def render_rays(
                 det=not cfg.perturb, rng=k_pdf,
             )
         z_samples = jax.lax.stop_gradient(z_samples)
-        if grid is not None and cfg.render_grid_fine_only:
+        if (cfg.render_fine_only
+                or (grid is not None and cfg.render_grid_fine_only)):
             # Fine-only serving: the visible pass evaluates ONLY the
-            # importance samples the grid CDF placed.
+            # importance samples the CDF (grid or coarse MLP) placed.
             z_all = jnp.sort(z_samples, axis=-1)
         else:
             z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),

@@ -183,6 +183,14 @@ class TrainConfig:
     # Stratified sample count for the grid CDF (0 = N_samples); grid
     # lookups are bandwidth-trivial so a finer CDF is ~free.
     render_grid_samples: int = 0
+    # Fine-only serving WITHOUT a grid (EVAL renders only, like
+    # render_int8): the coarse MLP still places the importance samples, but
+    # the fine pass evaluates ONLY those N_importance samples instead of the
+    # stratified+importance union — render MLP evals per ray drop from
+    # N_samples + (N_samples + N_importance) to N_samples + N_importance
+    # with zero gathers. Composes with render_int8. Quality A/B:
+    # scripts/int8_eval.py.
+    render_fine_only: bool = False
     # Baked-density-grid TRAINING (opt-in; no reference counterpart): after
     # ``grid_train_after`` warmup steps of normal two-MLP training, the
     # coarse MLP pass of the train step is replaced by a trilinear lookup of

@@ -294,6 +294,11 @@ def _validate_flags(cfg: TrainConfig) -> None:
         raise ValueError(
             "--render_grid_fine_only / --render_grid_samples refine the "
             "baked-grid serving mode and need --render_grid R to be set.")
+    if cfg.render_fine_only and cfg.N_importance <= 0:
+        raise ValueError(
+            "--render_fine_only renders the image with the fine pass over "
+            "the importance samples; with N_importance=0 there is no fine "
+            "pass. Use N_importance > 0 or drop --render_fine_only.")
     if cfg.grid_train:
         if cfg.N_importance <= 0:
             raise ValueError(
@@ -521,6 +526,8 @@ def train(cfg: TrainConfig):
     # quantized serving kernel.
     rcfg_r = dataclasses.replace(rcfg, render_int8=True) \
         if cfg.render_int8 else rcfg
+    if cfg.render_fine_only:
+        rcfg_r = dataclasses.replace(rcfg_r, render_fine_only=True)
 
     expdir = os.path.join(cfg.basedir, cfg.expname)
     os.makedirs(expdir, exist_ok=True)

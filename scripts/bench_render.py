@@ -34,6 +34,11 @@ def main():
         import dataclasses
 
         rcfg = dataclasses.replace(rcfg, render_int8=True)
+    nf_only = os.environ.get("BENCH_FINE_ONLY", "0") == "1"
+    if nf_only:  # BENCH_FINE_ONLY=1: no-grid fine-only serving
+        import dataclasses
+
+        rcfg = dataclasses.replace(rcfg, render_fine_only=True)
     grid_res = int(os.environ.get("BENCH_GRID", 0))
     fine_only = os.environ.get("BENCH_GRID_FINE", "0") == "1"
     models = build_models(cfg, rcfg)
@@ -78,8 +83,9 @@ def main():
 
     print(json.dumps({
         "metric": (f"render_fps_{H}x{W}" + ("_int8" if int8 else "")
+                   + ("_fineonly" if nf_only else "")
                    + (f"_grid{grid_res}" if grid_res else "")
-                   + ("_fineonly" if grid_res and fine_only else "")),
+                   + ("_gridfineonly" if grid_res and fine_only else "")),
         "value": round(1.0 / dt, 3),
         "unit": "fps",
         "rays_per_sec": round(H * W / dt, 1),

@@ -2,10 +2,12 @@
 
 Trains the flagship-shape model (netdepth 4 / width 256 / 64+64 samples,
 bf16) on the deterministic synthetic scene for a short run, then renders the
-held-out view through four serving configurations — bf16, int8 (W8A8
-kernels), baked-density-grid coarse pass, and grid+int8 — and reports one
-JSON line: per-frame times, PSNR of each render against the ground truth,
-and PSNR against the bf16 render (the serving-path noise floor).
+held-out view through the serving configurations — bf16, int8 (W8A8
+kernels), fine-only (coarse MLP places the samples, fine pass evaluates only
+those — no grid, no gathers), fine-only+int8, baked-density-grid coarse
+pass, grid+int8, grid-fine-only ×2 — and reports one JSON line: per-frame
+times, PSNR of each render against the ground truth, and PSNR against the
+bf16 render (the serving-path noise floor).
 
     python scripts/int8_eval.py            # ~2k iters train + A/B render
 
@@ -85,7 +87,14 @@ def main():
 
     legs = {"bf16": (rcfg, state.params),
             "int8": (dataclasses.replace(rcfg, render_int8=True),
-                     state.params)}
+                     state.params),
+            # Fine-only WITHOUT a grid: coarse MLP places the samples, the
+            # fine pass evaluates only those N_importance — no gathers.
+            "fine_only": (dataclasses.replace(rcfg, render_fine_only=True),
+                          state.params),
+            "fine_only_int8": (dataclasses.replace(
+                rcfg, render_fine_only=True, render_int8=True),
+                state.params)}
 
     grid_res = int(os.environ.get("INT8_EVAL_GRID", 192))
     if grid_res:

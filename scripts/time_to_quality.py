@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--grid-samples", type=int, default=0,
                     help="bake z-grid resolution (0 = N_samples); raise to "
                          "sharpen the CDF when --grid-fine-only")
+    ap.add_argument("--run-to-end", action="store_true",
+                    help="do not stop at the last threshold: train the full "
+                         "--iters and report the final holdout PSNR (the "
+                         "quality A/B gate for grid modes needs final PSNR "
+                         "at EQUAL iterations, not just crossing times)")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +107,7 @@ def main():
 
     thresholds = sorted(args.thresholds)
     crossed = {}
+    last_psnr = None
     t_train = 0.0
     t0_all = time.time()
 
@@ -177,7 +183,7 @@ def main():
         t_train += time.time() - t0
 
         if i % args.eval_every == 0:
-            p = holdout_psnr(state.params)  # off the clock
+            p = last_psnr = holdout_psnr(state.params)  # off the clock
             print(f"[TTQ] iter {i} train_min {t_train / 60:.2f} "
                   f"psnr {p:.2f}", flush=True)
             for th in thresholds:
@@ -187,9 +193,17 @@ def main():
                         {"threshold_db": th, "iters": i,
                          "train_minutes": round(t_train / 60.0, 2)}),
                         flush=True)
-            if all(th in crossed for th in thresholds):
+            if (not args.run_to_end
+                    and all(th in crossed for th in thresholds)):
                 break
         i += 1
+
+    if args.run_to_end:
+        p = last_psnr if last_psnr is not None else holdout_psnr(state.params)
+        print(json.dumps({"final_iters": min(i, args.iters),
+                          "final_psnr_db": round(p, 2),
+                          "train_minutes": round(t_train / 60.0, 2)}),
+              flush=True)
 
     print(f"\ntotal wall {((time.time() - t0_all) / 60):.2f} min "
           f"(train-only {t_train / 60:.2f} min)")

@@ -222,3 +222,60 @@ def test_render_grid_fine_only_requires_grid():
     with pytest.raises(ValueError, match="render_grid_fine_only"):
         _validate_flags(TrainConfig(render_grid_samples=128,
                                     render_only=True))
+
+
+def test_render_fine_only_no_grid():
+    """--render_fine_only (no grid): the coarse MLP still runs and places
+    the importance samples, but the fine pass evaluates ONLY those
+    N_importance samples — and on a smooth field the image stays in the
+    full render's neighborhood."""
+    import dataclasses
+
+    from depth_lidar_nerf_tpu.render import RenderConfig, Rays, render_rays
+
+    model, params = _tiny_model()
+    cfg = RenderConfig(N_samples=32, N_importance=16, perturb=False,
+                       raw_noise_std=0.0, ndc=False, near=2.0, far=6.0,
+                       multires=4, multires_views=2, render_fine_only=True)
+    N = 8
+    k = jax.random.key(0)
+    ro = jax.random.normal(k, (N, 3)) * 0.1
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (N, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    rays = Rays(ro, rd, rd, jnp.full((N, 1), 2.0), jnp.full((N, 1), 6.0))
+    p = {"coarse": params, "fine": params}
+
+    out = render_rays(model, model, p, rays, cfg)
+    assert out["weights"].shape == (N, cfg.N_importance)  # fine-only pass
+    # the coarse MLP ran: its maps are a real render, not a zero stand-in
+    assert float(np.abs(np.asarray(out["rgb0"])).max()) > 0.0
+    full = render_rays(model, model, p, rays,
+                       dataclasses.replace(cfg, render_fine_only=False))
+    assert full["weights"].shape == (N, cfg.N_samples + cfg.N_importance)
+    # Random-init fields are diffuse, so 16 vs 48 MLP evals legitimately
+    # disagree on some rays; true serving quality is pinned by the
+    # converged-model A/B (scripts/int8_eval.py — PERF.md round 4). This
+    # bound only catches gross dispatch bugs (wrong pass, wrong samples).
+    np.testing.assert_allclose(np.asarray(out["rgb_map"]),
+                               np.asarray(full["rgb_map"]), atol=0.3)
+
+
+def test_render_fine_only_requires_fine_pass():
+    from depth_lidar_nerf_tpu.train.config import TrainConfig
+    from depth_lidar_nerf_tpu.train.loop import _validate_flags
+
+    with pytest.raises(ValueError, match="render_fine_only"):
+        _validate_flags(TrainConfig(render_fine_only=True, N_importance=0,
+                                    render_only=True))
+    _validate_flags(TrainConfig(render_fine_only=True, N_importance=64,
+                                render_only=True))
+
+
+def test_render_fine_only_never_binds_to_training_rcfg():
+    """Like render_int8, --render_fine_only is an EVAL-render knob: the
+    RenderConfig derived for the train step must not carry it."""
+    from depth_lidar_nerf_tpu.train.config import TrainConfig, render_config_from
+
+    cfg = TrainConfig(render_fine_only=True)
+    rcfg = render_config_from(cfg, 0, 2.0, 6.0)
+    assert rcfg.render_fine_only is False
