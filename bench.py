@@ -15,12 +15,16 @@ occlusion to cull, a trained one does — and because grid training
 The ONE json line carries the full picture (VERDICT r3 #1/#3/#6):
 
 - ``value`` (headline, ``train_rays_per_sec``): the flagship topology
-  (netdepth_fine = BENCH_NETDEPTH_FINE, default 4) with **grid training
-  active** — the recommended steady-state mode: past ``grid_train_after``
-  the coarse MLP pass becomes a row gather + inverse-CDF over per-ray
-  weights baked from the live fine model (ops/ray_cdf.py), deleting ~1/3 of
-  the step's MLP FLOPs with the stratified+importance fine union unchanged.
-  ``BENCH_GRID_TRAIN=0`` reverts the headline to two-MLP.
+  (netdepth_fine = BENCH_NETDEPTH_FINE, default 4) with **fine-only grid
+  training active** — the recommended steady-state mode: past
+  ``grid_train_after`` the coarse MLP pass becomes a row gather +
+  inverse-CDF over per-ray weights baked from the live fine model
+  (ops/ray_cdf.py) at 128-sample resolution, and the fine pass evaluates
+  ONLY the N_importance CDF samples (no stratified union). Quality-gated
+  on-chip (PERF.md round 4 "Grid-train quality A/B"): on the hard scene the
+  mode reaches every PSNR threshold faster than two-MLP AND ends HIGHER
+  at 6k iters (33.61 vs 33.27 dB). ``BENCH_GRID_FINE_ONLY=0`` keeps the
+  stratified+union fine pass; ``BENCH_GRID_TRAIN=0`` reverts to two-MLP.
 - ``two_mlp``: the same topology with the full two-MLP step (the strict
   reference training algorithm, round-3 headline continuity).
 - ``strict_math``: two-MLP with ``cull_eps=0`` — bitwise reference
@@ -40,7 +44,8 @@ the headline rays/sec on this host's chip divided by the 500k/chip target.
 Knobs via env: BENCH_N_RAND (default 16384), BENCH_STEPS (default 30),
 BENCH_WARMUP (default 400), BENCH_DTYPE, BENCH_FUSED, BENCH_CULL,
 BENCH_NETDEPTH_FINE, BENCH_GRID_TRAIN, BENCH_GRID_RES (default 128),
-BENCH_GRID_FINE_ONLY, BENCH_GRID_SAMPLES (bake-CDF resolution, 0 = N_samples),
+BENCH_GRID_FINE_ONLY (default 1), BENCH_GRID_SAMPLES (bake-CDF resolution,
+default 128; 0 = N_samples),
 BENCH_REF_DEFAULT, BENCH_SEMANTIC=1 (legacy: makes the HEADLINE scene itself
 semantic).
 """
@@ -97,8 +102,8 @@ def main():
     fine_depth = int(os.environ.get("BENCH_NETDEPTH_FINE", 4))
     grid_train = _env_flag("BENCH_GRID_TRAIN", "1")
     grid_res = int(os.environ.get("BENCH_GRID_RES", 128))
-    grid_fine_only = _env_flag("BENCH_GRID_FINE_ONLY", "0")
-    grid_samples = int(os.environ.get("BENCH_GRID_SAMPLES", 0))
+    grid_fine_only = _env_flag("BENCH_GRID_FINE_ONLY", "1")
+    grid_samples = int(os.environ.get("BENCH_GRID_SAMPLES", 128))
     ref_default = _env_flag("BENCH_REF_DEFAULT", "1")
     strict_line = _env_flag("BENCH_STRICT_LINE", "1")
 
