@@ -511,7 +511,11 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
     return ex
 
 
-def train(cfg: TrainConfig):
+def train(cfg: TrainConfig, metrics_hook=None):
+    """Run the training loop. ``metrics_hook(i, metrics_dict)`` — when given —
+    receives the host-fetched scalar metrics at every ``i_print`` boundary
+    (the same values printed/TB-logged); used by the head-to-head reference
+    differential to record loss/PSNR trajectories without log scraping."""
     _validate_flags(cfg)
     if cfg.debug_nans or cfg.debug:
         # --debug maps to the NaN scan intent of the reference's DEBUG flag
@@ -781,6 +785,8 @@ def train(cfg: TrainConfig):
             rps = rays_done / dt if dt > 0 else 0.0
             print(f"[TRAIN] iter {i} loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
                   f"rays/s {rps:,.0f}")
+            if metrics_hook is not None:
+                metrics_hook(i, m)
             if writer:
                 for k, v in m.items():
                     writer.add_scalar(f"Train/{k}", v, i)
