@@ -26,9 +26,20 @@ def _ckpt_dir(basedir: str, expname: str) -> str:
 def make_manager(basedir: str, expname: str, max_to_keep: int = 5):
     path = _ckpt_dir(basedir, expname)
     os.makedirs(path, exist_ok=True)
-    return ocp.CheckpointManager(
-        path, options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
-    )
+    opts = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
+    if jax.process_count() > 1:
+        # Multi-host: checkpointing is process-0-only (params are fully
+        # replicated; the loop saves a host-local snapshot). Restricting the
+        # manager's active processes keeps its internal barriers off the
+        # other hosts — a save on process 0 must not block on processes
+        # that never call save.
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            create=False,  # orbax forbids create=True with active_processes;
+            # the root dir is made above
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}))
+    return ocp.CheckpointManager(path, options=opts)
 
 def save_state(mgr, state: TrainState, step: int) -> None:
     mgr.save(step, args=ocp.args.StandardSave(state))

@@ -548,7 +548,11 @@ def train(cfg: TrainConfig, metrics_hook=None):
     state = init_train_state(cfg, rcfg, models, rng)
     vgg_params = init_vgg_params(cfg, models, jax.random.fold_in(rng, 7))
 
-    mgr = make_manager(cfg.basedir, cfg.expname)
+    # Multi-host: the checkpoint manager lives on process 0 only (its
+    # active_processes barrier set is {0}); the restored state is broadcast
+    # to the other hosts in the mesh-setup block below.
+    mgr = (make_manager(cfg.basedir, cfg.expname)
+           if jax.process_index() == 0 else None)
     start = 0
     fresh_opt_state = state.opt_state
     if cfg.ft_path:
@@ -572,7 +576,7 @@ def train(cfg: TrainConfig, metrics_hook=None):
             state = restore_from_path(cfg.ft_path, state)
         start = int(state.step)
         print(f"loaded --ft_path checkpoint {cfg.ft_path} (step {start})")
-    elif not cfg.no_reload:
+    elif not cfg.no_reload and mgr is not None:
         restored = restore_latest(mgr, state)
         if restored is not None:
             state = restored
@@ -658,7 +662,50 @@ def train(cfg: TrainConfig, metrics_hook=None):
     # Multi-chip: ray-axis data parallelism over a device mesh. Params and
     # tables replicate; the sharded step lets GSPMD emit the gradient psum.
     mesh = None
-    if cfg.mesh_shape:
+    multihost = jax.process_count() > 1
+    if multihost:
+        # Multi-host (DCN) ray-DP: one global mesh over every process's
+        # devices; each host keeps only ITS row slice of the ray tables
+        # (parallel/distributed.py), params/VGG replicated globally, and the
+        # batch gather's cross-host rows ride DCN via GSPMD collectives.
+        from depth_lidar_nerf_tpu.parallel.distributed import (
+            global_key, global_replicated, pad_rows, process_row_slice,
+            shard_table_rows)
+        from depth_lidar_nerf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh([len(jax.devices())], jax.devices())
+
+        def _to_global_table(table):
+            table = jax.tree.map(
+                lambda x: None if x is None else np.asarray(x), table)
+            table, rows = pad_rows(table, mesh.devices.size)
+            lo, hi = process_row_slice(rows)
+            local = jax.tree.map(
+                lambda x: None if x is None else x[lo:hi], table)
+            return shard_table_rows(mesh, local, rows)
+
+        rgb_table = _to_global_table(rgb_table)
+        if depth_table is not None:
+            depth_table = _to_global_table(depth_table)
+        # process 0 may hold a resumed checkpoint the others lack
+        from jax.experimental import multihost_utils
+
+        state = multihost_utils.broadcast_one_to_all(jax.device_get(state))
+        start = int(np.asarray(state.step))
+        state = global_replicated(mesh, jax.device_get(state))
+        if vgg_params is not None:
+            vgg_params = global_replicated(mesh, jax.device_get(vgg_params))
+        rng = global_key(mesh, cfg.seed if cfg.should_seed else 0)
+        # Host-divergent mid-train renders would desynchronize the SPMD
+        # processes (collectives must be entered by all); periodic eval
+        # artifacts are a single-host concern — run a render_only pass on
+        # the saved checkpoints instead.
+        cfg = dataclasses.replace(cfg, i_testset=0, i_img=0, i_video=0,
+                                  steps_per_dispatch=1)
+        print(f"multi-host ray-DP mesh: {jax.process_count()} processes x "
+              f"{len(jax.local_devices())} local devices "
+              f"= {mesh.devices.size} global")
+    elif cfg.mesh_shape:
         from depth_lidar_nerf_tpu.parallel.mesh import (
             make_mesh, model_parallel_size, replicate, shard_params)
 
@@ -684,9 +731,16 @@ def train(cfg: TrainConfig, metrics_hook=None):
             jnp.asarray(scene.images[scene.i_train], jnp.float32),
             jnp.asarray(scene.poses[scene.i_train], jnp.float32))
         if mesh is not None:
-            from depth_lidar_nerf_tpu.parallel.mesh import replicate
+            if multihost:
+                from depth_lidar_nerf_tpu.parallel.distributed import (
+                    global_replicated)
 
-            patch_source = replicate(mesh, patch_source)
+                patch_source = global_replicated(
+                    mesh, jax.device_get(patch_source))
+            else:
+                from depth_lidar_nerf_tpu.parallel.mesh import replicate
+
+                patch_source = replicate(mesh, patch_source)
 
     k_max = dispatch_k_max(cfg)
 
@@ -738,17 +792,18 @@ def train(cfg: TrainConfig, metrics_hook=None):
         return {**params, "density_grid": grid3}, rcfg_r_grid
 
     writer = None
-    try:
-        from tensorboardX import SummaryWriter
+    if not multihost or jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(os.path.join("runs", cfg.expname))
-    except Exception:
-        pass
+            writer = SummaryWriter(os.path.join("runs", cfg.expname))
+        except Exception:
+            pass
 
     print(f"TRAIN views: {list(scene.i_train)}  TEST views: {list(scene.i_test)}")
-    warm_ex = _prewarm_async(cfg, plan, models, rcfg_r, scene, state, rgb_table,
-                             depth_table, patch_source, vgg_params, rng,
-                             k_max, start)
+    warm_ex = None if multihost else _prewarm_async(
+        cfg, plan, models, rcfg_r, scene, state, rgb_table,
+        depth_table, patch_source, vgg_params, rng, k_max, start)
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
     t0 = time.time()
@@ -798,7 +853,15 @@ def train(cfg: TrainConfig, metrics_hook=None):
             rays_done = 0
 
         if cfg.i_weights > 0 and i % cfg.i_weights == 0:
-            save_state(mgr, state, i)
+            if multihost:
+                # params are fully replicated: process 0 snapshots its local
+                # copy to host and writes a single-host checkpoint (the
+                # manager's active_processes is {0}, so its barriers never
+                # wait on the other hosts)
+                if jax.process_index() == 0:
+                    save_state(mgr, jax.device_get(state), i)
+            else:
+                save_state(mgr, state, i)
 
         if cfg.i_testset > 0 and i % cfg.i_testset == 0 and len(scene.i_test) > 0:
             testdir = os.path.join(expdir, f"testset_{i:06d}")
@@ -851,13 +914,19 @@ def train(cfg: TrainConfig, metrics_hook=None):
         warm_ex.shutdown(wait=True, cancel_futures=True)
     if cfg.profile_dir:
         jax.profiler.stop_trace()
-    save_state(mgr, state, cfg.N_iters)
-    mgr.wait_until_finished()
+    if multihost:
+        if jax.process_index() == 0:
+            save_state(mgr, jax.device_get(state), cfg.N_iters)
+    else:
+        save_state(mgr, state, cfg.N_iters)
+    if mgr is not None:
+        mgr.wait_until_finished()
     # Release the manager's background machinery and the TB event thread:
     # orbax keeps a non-daemon worker alive per open manager, which keeps
     # the *interpreter* alive after pytest prints its summary (observed as a
     # >5 min hang after [100%] in round 3's review).
-    mgr.close()
+    if mgr is not None:
+        mgr.close()
     if writer:
         writer.close()
     return state
