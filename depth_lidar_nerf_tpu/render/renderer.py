@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from depth_lidar_nerf_tpu.ops.compositing import raw2outputs
 from depth_lidar_nerf_tpu.ops.embedding import positional_encoding
-from depth_lidar_nerf_tpu.ops.rays import camera_rays, ndc_rays
+from depth_lidar_nerf_tpu.ops.rays import camera_rays, ndc_rays, rays_by_coord
 from depth_lidar_nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
 
 
@@ -88,6 +88,12 @@ class RenderConfig:
     # replaces on TPU — PERF.md round 4). Eval/serving only; the train loop
     # never sets this on the training config.
     render_fine_only: bool = False
+    # Serving accelerator on top of fine-only: the coarse placement pass
+    # runs at (H/k, W/k) — one ray per k x k pixel block — and its
+    # inverse-CDF fine-sample depths are shared across the block; the
+    # visible fine pass stays full-res. render_image-only (needs the 2-D
+    # pixel layout). 0/1 = off.
+    render_coarse_downsample: int = 0
 
     def render_tile(self, fused: bool = False) -> int:
         """Ray-tile size for :func:`render_rays_tiled` honoring both knobs.
@@ -547,11 +553,119 @@ def render_image(
 
     Equivalent of ``render(..., c2w=...)`` + chunking (``run_nerf.py:138-189``).
     """
+    if (cfg.render_coarse_downsample > 1 and cfg.N_importance > 0
+            and H % cfg.render_coarse_downsample == 0
+            and W % cfg.render_coarse_downsample == 0
+            and (params.get("density_grid") is None
+                 if hasattr(params, "get") else True)):
+        return render_image_coarse_downsampled(
+            model, fine_model, params, H, W, focal, c2w, cfg, tile=tile)
     rays_o, rays_d = camera_rays(H, W, focal, c2w)
     rays = make_rays(rays_o, rays_d, cfg, H, W, focal)
     out = render_rays_tiled(model, fine_model, params, rays, cfg.eval_mode(),
                             rng=None, tile=tile)
     return jax.tree.map(lambda x: x.reshape((H, W) + x.shape[1:]), out)
+
+
+@functools.lru_cache(maxsize=16)
+def _ds_render_jit(model, fine_model, cfg: RenderConfig, H: int, W: int,
+                   k: int, focal: float, tile: int):
+    """Compiled coarse-downsampled fine-only serving renderer (cached per
+    model/config/shape like :func:`_tiled_render_jit`)."""
+
+    Hd, Wd = H // k, W // k
+
+    @jax.jit
+    def run(params, c2w):
+        # ---- coarse placement pass at (H/k, W/k): rays through the k x k
+        # block centers (exact full-res pixel coordinates, not a smaller
+        # camera) ----
+        jj, ii = jnp.meshgrid(jnp.arange(Hd, dtype=jnp.float32),
+                              jnp.arange(Wd, dtype=jnp.float32), indexing="ij")
+        coords = jnp.stack([ii * k + (k - 1) * 0.5,
+                            jj * k + (k - 1) * 0.5], axis=-1).reshape(-1, 2)
+        ro, rd = rays_by_coord(H, W, focal, c2w, coords)
+        rays_lo = make_rays(ro, rd, cfg, H, W, focal)
+        z_lo = stratified_z_vals(rays_lo.near, rays_lo.far, cfg.N_samples,
+                                 lindisp=cfg.lindisp, perturb=False, rng=None)
+        coarse = _composite_from_z(model, params["coarse"], rays_lo, z_lo,
+                                   cfg, None)
+        z_mid = 0.5 * (z_lo[..., 1:] + z_lo[..., :-1])
+        z_samples = sample_pdf(z_mid, coarse.weights[..., 1:-1],
+                               cfg.N_importance, det=True, rng=None)
+        z_samples = jnp.sort(z_samples, axis=-1)  # [Hd*Wd, N_importance]
+
+        # ---- upsample the per-ray sample depths to full resolution ----
+        z_full = jnp.repeat(jnp.repeat(
+            z_samples.reshape(Hd, Wd, -1), k, axis=0), k, axis=1)
+        z_full = z_full.reshape(H * W, -1)
+
+        # ---- full-res fine-only pass, tiled to bound HBM ----
+        ro_f, rd_f = camera_rays(H, W, focal, c2w)
+        rays_f = make_rays(ro_f, rd_f, cfg, H, W, focal)
+        fm = fine_model if fine_model is not None else model
+        fkey = "fine" if fine_model is not None else "coarse"
+
+        n = H * W
+        n_pad = (-n) % tile
+        rays_t = jax.tree.map(
+            lambda x: jnp.pad(x, ((0, n_pad), (0, 0)),
+                              mode="edge").reshape(-1, tile, x.shape[-1]),
+            rays_f)
+        z_t = jnp.pad(z_full, ((0, n_pad), (0, 0)),
+                      mode="edge").reshape(-1, tile, z_full.shape[-1])
+
+        def body(args):
+            r, z = args
+            fine = _composite_from_z(fm, params[fkey], r, z, cfg, None)
+            out = {"rgb_map": fine.rgb, "disp_map": fine.disp,
+                   "acc_map": fine.acc, "depth_map": fine.depth}
+            if fine.semantic is not None:
+                out["sem_preds"] = fine.semantic
+            return out
+
+        out = jax.lax.map(body, (rays_t, z_t))
+        out = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n].reshape(
+                (H, W) + x.shape[2:]), out)
+        # low-res coarse maps, upsampled — keeps the result dict shape
+        # familiar to render_path consumers
+        up = lambda a: jnp.repeat(jnp.repeat(  # noqa: E731
+            a.reshape((Hd, Wd) + a.shape[1:]), k, axis=0), k, axis=1)
+        out.update({"rgb0": up(coarse.rgb), "depth_map0": up(coarse.depth),
+                    "acc0": up(coarse.acc)})
+        return out
+
+    return run
+
+
+def render_image_coarse_downsampled(model, fine_model, params, H, W, focal,
+                                    c2w, cfg: RenderConfig,
+                                    tile: int | None = None):
+    """Serving accelerator: coarse CDF at ``(H/k, W/k)``, fine-only at full
+    resolution (``cfg.render_coarse_downsample = k``).
+
+    Neighboring rays traverse nearly identical depth structure, so the
+    coarse pass — whose ONLY serving job is placing the fine samples
+    (run_nerf.py:625-633) — runs on one ray per ``k x k`` pixel block and
+    its inverse-CDF depths are shared by the block. Per-ray MLP evals drop
+    from ``N_samples + N_importance`` (fine-only) to
+    ``N_samples/k^2 + N_importance``; the visible image remains a full-res
+    fine-MLP render. Quality-gated in ``tests/test_renderer.py`` and on-chip
+    (PERF.md round 5). No reference counterpart (serving mode)."""
+    k = cfg.render_coarse_downsample
+    if k <= 1 or cfg.N_importance <= 0 or H % k or W % k:
+        raise ValueError(
+            f"render_coarse_downsample={k} needs k>1, N_importance>0 and "
+            f"k | H,W (H={H}, W={W})")
+    cfg = cfg.eval_mode()
+    if tile is None:
+        tile = pick_render_tile(model, fine_model, params,
+                                dataclasses.replace(cfg, render_fine_only=True),
+                                H * W)
+    run = _ds_render_jit(model, fine_model, cfg, H, W, k, float(focal),
+                         int(tile))
+    return run(params, jnp.asarray(c2w))
 
 
 def sample_sigma(model, params, rays: Rays, z_vals, cfg: RenderConfig):

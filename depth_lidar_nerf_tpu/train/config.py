@@ -187,6 +187,12 @@ class TrainConfig:
     # still runs the full MLP). 0 = off; e.g. 192 for a 192^3 bake.
     # Composes with render_int8.
     render_grid: int = 0
+    # Serving accelerator on top of fine-only rendering: the coarse
+    # placement pass runs at (H/k, W/k) — one ray per k x k pixel block,
+    # sharing its inverse-CDF fine depths across the block — while the
+    # visible fine pass stays full-res (render/renderer.py
+    # render_image_coarse_downsampled). Eval/render-only. 0/1 = off.
+    render_coarse_downsample: int = 0
     # Grid fine-only serving: the fine MLP evaluates ONLY the N_importance
     # samples placed by the grid CDF (not coarse + importance) — MLP evals
     # per ray drop from N_samples + (N_samples + N_importance) to

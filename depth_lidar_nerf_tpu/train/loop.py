@@ -532,6 +532,9 @@ def train(cfg: TrainConfig, metrics_hook=None):
         if cfg.render_int8 else rcfg
     if cfg.render_fine_only:
         rcfg_r = dataclasses.replace(rcfg_r, render_fine_only=True)
+    if cfg.render_coarse_downsample > 1:
+        rcfg_r = dataclasses.replace(
+            rcfg_r, render_coarse_downsample=cfg.render_coarse_downsample)
 
     expdir = os.path.join(cfg.basedir, cfg.expname)
     os.makedirs(expdir, exist_ok=True)

@@ -33,6 +33,7 @@ _SLOW_MODULES = {
     "test_multihost",  # 2-process subprocess pairs
     "test_dispatch_batching",  # K-step scan compiles
     "test_fused_mlp",  # Pallas kernel compiles (interpret mode on CPU)
+    "test_head_to_head",  # live reference train() subprocess
 }
 # heavy individual tests inside otherwise-fast modules (measured >10 s)
 _SLOW_TESTS = {

@@ -158,3 +158,66 @@ def test_tiled_render_trace_is_cached():
     assert info.misses == 1 and info.hits == 1
     np.testing.assert_allclose(np.asarray(a["rgb_map"]),
                                np.asarray(b["rgb_map"]), rtol=0, atol=0)
+
+
+def test_render_image_coarse_downsampled_shapes_and_agreement():
+    """--render_coarse_downsample k: coarse CDF at (H/k, W/k), full-res
+    fine-only image. Shapes are full-res; on a smooth random-init field the
+    result stays in the neighborhood of the per-ray fine-only render (the
+    converged-model quality gate is the on-chip A/B in PERF.md round 5)."""
+    import dataclasses
+
+    import jax
+
+    from depth_lidar_nerf_tpu.models import NeRFMLP
+    from depth_lidar_nerf_tpu.render import RenderConfig
+    from depth_lidar_nerf_tpu.render.renderer import (
+        render_image, render_image_coarse_downsampled)
+
+    mr, mrv = 4, 2
+    model = NeRFMLP(depth=2, width=32, in_channels=3 + 6 * mr,
+                    in_channels_views=3 + 6 * mrv, dtype=jnp.float32)
+    pe = jnp.zeros((1, 3 + 6 * mr))
+    ve = jnp.zeros((1, 3 + 6 * mrv))
+    params = {"coarse": model.init(jax.random.key(1), pe, ve),
+              "fine": model.init(jax.random.key(2), pe, ve)}
+    H, W, focal = 16, 24, 20.0
+    c2w = jnp.eye(4)[:3]
+    cfg = RenderConfig(N_samples=16, N_importance=8, perturb=False,
+                       raw_noise_std=0.0, ndc=False, near=2.0, far=6.0,
+                       multires=mr, multires_views=mrv,
+                       render_coarse_downsample=2)
+
+    out = render_image_coarse_downsampled(model, model, params, H, W, focal,
+                                          c2w, cfg)
+    assert out["rgb_map"].shape == (H, W, 3)
+    assert out["depth_map"].shape == (H, W)
+    assert out["rgb0"].shape == (H, W, 3)  # upsampled coarse
+    assert np.all(np.isfinite(np.asarray(out["rgb_map"])))
+
+    # render_image dispatches to the ds path on the same config
+    via_dispatch = render_image(model, model, params, H, W, focal, c2w, cfg)
+    np.testing.assert_allclose(np.asarray(via_dispatch["rgb_map"]),
+                               np.asarray(out["rgb_map"]), atol=1e-6)
+
+    # neighborhood agreement vs per-ray fine-only on the smooth random field
+    ref = render_image(model, model, params, H, W, focal, c2w,
+                       dataclasses.replace(cfg, render_coarse_downsample=0,
+                                           render_fine_only=True))
+    diff = np.abs(np.asarray(out["rgb_map"]) - np.asarray(ref["rgb_map"]))
+    # random-init CDFs differ per block at depth discontinuities; require
+    # bulk agreement (>99% of pixels within 0.1)
+    assert float(np.mean(diff > 0.1)) < 0.01, float(np.mean(diff > 0.1))
+
+
+def test_render_coarse_downsampled_rejects_bad_shapes():
+    import pytest as _pytest
+
+    from depth_lidar_nerf_tpu.render import RenderConfig
+    from depth_lidar_nerf_tpu.render.renderer import (
+        render_image_coarse_downsampled)
+
+    cfg = RenderConfig(render_coarse_downsample=3, N_importance=8, ndc=False)
+    with _pytest.raises(ValueError):
+        render_image_coarse_downsampled(None, None, {}, 16, 16, 10.0,
+                                        jnp.eye(4)[:3], cfg)  # 3 !| 16
