@@ -169,6 +169,15 @@ class TrainConfig:
     # (min(32, 16384 // N_rand)); 1 = off. RNG folds per inner step, so the
     # loss trajectory is identical to unbatched at print precision.
     steps_per_dispatch: int = 0
+    # Fuse each (plain-steps + patch-step) loss-schedule period into ONE
+    # device dispatch (step.make_cycle_step): the feature/smoothness
+    # every-N cadence dispatches as a single program instead of three.
+    # Identical trajectory (same per-iteration rng folds); saves ~2 launch
+    # latencies per period, which dominate the patch-window rate on a
+    # tunneled chip (PERF.md round 5). Auto-disabled with gan_loss (past
+    # gan_start every iteration is a patch iteration) and when
+    # steps_per_dispatch=1.
+    cycle_dispatch: bool = True
     # Quantized (W8A8, int8 MXU) forward for EVAL renders only — i_img /
     # i_testset / i_video / render_only frames. Training math (including the
     # no-grad patch render that feeds the perceptual losses) stays bf16.

@@ -338,6 +338,57 @@ def dispatch_k_max(cfg: TrainConfig) -> int:
     return cfg.steps_per_dispatch if cfg.steps_per_dispatch > 0 else k_auto
 
 
+def _event_boundary(cfg: TrainConfig, j: int) -> bool:
+    """True when iteration ``j`` triggers a host-side event (logging,
+    checkpoint, eval, grid re-bake) — dispatch blocks may END on such an
+    iteration but never cross one."""
+    for n in (cfg.i_print, cfg.i_weights, cfg.i_testset, cfg.i_img,
+              cfg.i_video):
+        if n > 0 and j % n == 0:
+            return True
+    # Grid re-bakes happen between dispatch blocks (off the step's
+    # critical path), so blocks must end on re-bake multiples.
+    if (cfg.grid_train and j > cfg.grid_train_after
+            and j % cfg.grid_rebake_every == 0):
+        return True
+    return j >= cfg.N_iters
+
+
+def cycle_span(cfg: TrainConfig, plan, i: int, key, k_max: int,
+               cap: int = 32):
+    """Fused-period block starting at iteration ``i``: ``d`` plain steps
+    followed by one patch step, dispatched as ONE program
+    (step.make_cycle_step). Returns ``(d, patch_key)`` or None.
+
+    Conditions: ``i..i+d-1`` all share the plain variant ``key`` with no
+    event boundary strictly inside, and ``i+d`` is a patch iteration whose
+    precrop/grid flags match. On the tunneled chip this removes two of the
+    three dispatch launches per loss-schedule period (~5 ms each,
+    scripts/profile_patch_step.py — the round-5 flagship window lever)."""
+    if (not cfg.cycle_dispatch or k_max <= 1 or any(key[:3])
+            or cfg.gan_loss):
+        # gan_loss: once past gan_start_iteration EVERY iteration is a
+        # patch iteration (run_nerf.py:1552-1554), so no plain prefix
+        # exists and the single-step path already applies.
+        return None
+    if _event_boundary(cfg, i):
+        # i's own events must run this iteration — only the block's LAST
+        # iteration gets event handling.
+        return None
+    for d in range(1, cap + 1):
+        j = i + d
+        if j > cfg.N_iters:
+            return None
+        pkey = plan.variant_key(j)
+        if any(pkey[:3]):
+            if pkey[3:] != key[3:]:
+                return None
+            return (d, pkey)
+        if pkey != key or _event_boundary(cfg, j):
+            return None
+    return None
+
+
 def dispatch_block_len(cfg: TrainConfig, plan, i: int, key,
                        k_max: Optional[int] = None) -> int:
     """Length of the batched-dispatch block starting at iteration ``i``.
@@ -354,16 +405,7 @@ def dispatch_block_len(cfg: TrainConfig, plan, i: int, key,
         return 1
 
     def _is_boundary(j: int) -> bool:
-        for n in (cfg.i_print, cfg.i_weights, cfg.i_testset, cfg.i_img,
-                  cfg.i_video):
-            if n > 0 and j % n == 0:
-                return True
-        # Grid re-bakes happen between dispatch blocks (off the step's
-        # critical path), so blocks must end on re-bake multiples.
-        if (cfg.grid_train and j > cfg.grid_train_after
-                and j % cfg.grid_rebake_every == 0):
-            return True
-        return j >= cfg.N_iters
+        return _event_boundary(cfg, j)
 
     k = 1
     while k < k_max:
@@ -416,9 +458,14 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
     i = start + 1
     while i <= horizon:
         key = plan.variant_key(i)
-        k = dispatch_block_len(cfg, plan, i, key, k_max)
-        job = ("multi", k, key[3], key[4]) if k > 1 else ("single", key, i)
-        sig = job if job[0] == "multi" else (job[0], job[1])
+        cyc = cycle_span(cfg, plan, i, key, k_max)
+        if cyc is not None:
+            job = ("cycle",) + cyc
+            k = cyc[0] + 1
+        else:
+            k = dispatch_block_len(cfg, plan, i, key, k_max)
+            job = ("multi", k, key[3], key[4]) if k > 1 else ("single", key, i)
+        sig = (job[0], job[1]) if job[0] == "single" else job
         if first:
             first = False  # the main thread compiles its own first block
         elif sig not in seen:
@@ -439,6 +486,8 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
     for job in jobs:
         if job[0] == "multi":
             fns.append((plan.get_multi(job[1], job[2], job[3]), job))
+        elif job[0] == "cycle":
+            fns.append((plan.get_cycle(job[1], job[2]), job))
         else:
             fns.append((plan.select(job[2])[0], job))
 
@@ -472,6 +521,10 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
                 fn(st, rgb_table, depth_table, None, vgg_params, rng,
                    jnp.arange(1, 1 + job[1], dtype=jnp.int32),
                    dummy_grid if job[3] else None)
+            elif job[0] == "cycle":
+                fn(st, rgb_table, depth_table, patch_source, vgg_params,
+                   rng, jnp.arange(1, 2 + job[1], dtype=jnp.int32),
+                   dummy_grid if job[2][4] else None)
             else:
                 needs = any(job[1][:3])
                 fn(st, rgb_table, depth_table,
@@ -818,20 +871,31 @@ def train(cfg: TrainConfig, metrics_hook=None):
         if grid_on and (grid_cdf is None
                         or i - grid_last_bake >= cfg.grid_rebake_every):
             _rebake(i)
-        k = dispatch_block_len(cfg, plan, i, key, k_max)
-        if k > 1:
-            step_fn = plan.get_multi(k, key[3], grid_on)
+        cyc = cycle_span(cfg, plan, i, key, k_max)
+        if cyc is not None:
+            d, pkey = cyc
+            step_fn = plan.get_cycle(d, pkey)
             state, metrics = step_fn(
-                state, rgb_table, depth_table, None, vgg_params, rng,
-                jnp.arange(i, i + k, dtype=jnp.int32),
+                state, rgb_table, depth_table, patch_source, vgg_params,
+                rng, jnp.arange(i, i + d + 1, dtype=jnp.int32),
                 grid_cdf if grid_on else None)
-            metrics = {kk: v[-1] for kk, v in metrics.items()}
+            k = d + 1  # metrics are the trailing patch step's
         else:
-            step_fn, needs_patch = plan.select(i)
-            patch = patch_source if needs_patch else None
-            state, metrics = step_fn(state, rgb_table, depth_table, patch,
-                                     vgg_params, jax.random.fold_in(rng, i),
-                                     grid_cdf if grid_on else None)
+            k = dispatch_block_len(cfg, plan, i, key, k_max)
+            if k > 1:
+                step_fn = plan.get_multi(k, key[3], grid_on)
+                state, metrics = step_fn(
+                    state, rgb_table, depth_table, None, vgg_params, rng,
+                    jnp.arange(i, i + k, dtype=jnp.int32),
+                    grid_cdf if grid_on else None)
+                metrics = {kk: v[-1] for kk, v in metrics.items()}
+            else:
+                step_fn, needs_patch = plan.select(i)
+                patch = patch_source if needs_patch else None
+                state, metrics = step_fn(
+                    state, rgb_table, depth_table, patch, vgg_params,
+                    jax.random.fold_in(rng, i),
+                    grid_cdf if grid_on else None)
         rays_done += cfg.N_rand * k
         i += k - 1  # i = last iteration of the block for event handling
 

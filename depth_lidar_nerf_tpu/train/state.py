@@ -10,6 +10,7 @@ optionally the GAN discriminator with its own Adam
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional
 
 import flax.struct
@@ -131,11 +132,17 @@ class FusedMLP:
         """Transposed fast path (v4): rays + per-ray depths -> raw."""
         from depth_lidar_nerf_tpu.ops import fused_mlp_t
 
+        # DLNERF_NO_BWD_CULL=1 disables the cotangent-culled backward even
+        # when cull_eps > 0 — a measurement knob that isolates how much of
+        # the strict-math (cull_eps=0) penalty is the lost backward cull vs
+        # the compositing mask itself (PERF.md "strict-math accounting").
+        cull_bwd = (cfg.cull_eps > 0
+                    and os.environ.get("DLNERF_NO_BWD_CULL", "0") != "1")
         return fused_mlp_t.fused_nerf_apply_rays(
             params, rays.origins, rays.directions, rays.viewdirs, z_vals,
             depth=self.module.depth, width=self.module.width,
             multires=cfg.multires, multires_views=cfg.multires_views,
-            dtype=self.module.dtype, cull_bwd=cfg.cull_eps > 0,
+            dtype=self.module.dtype, cull_bwd=cull_bwd,
             fwd_cull=fwd_cull, save_acts=save_acts, mesh=self.mesh,
             skips=self.module.skips)
 

@@ -106,6 +106,7 @@ class StepPlan(NamedTuple):
     select: Any  # i -> (step_fn, needs_patch)
     variant_key: Any  # i -> (feature_on, gan_on, smooth_on, precrop_on)
     get_multi: Any  # (k, precrop_on) -> K-step scan fn
+    get_cycle: Any  # (pre_steps, patch_key) -> fused period fn
 
 
 def _sigma_loss_term(cfg, rcfg, models, params, rays, target_depth, rng):
@@ -152,6 +153,7 @@ def make_train_step(
     mesh=None,
     k_steps: int = 1,
     grid_mode: bool = False,
+    _jit: bool = True,
 ):
     """Build one jitted step for a given loss-schedule variant.
 
@@ -526,7 +528,6 @@ def make_train_step(
         if patch_mode:
             raise ValueError("k_steps batching applies to non-patch variants")
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def multi_step_fn(state: TrainState, rgb_table: RgbRayTable,
                           depth_table: Optional[DepthRayTable],
                           patch, vgg_params, rng, iters, aux=None):
@@ -550,9 +551,10 @@ def make_train_step(
 
             return jax.lax.scan(body, state, iters)
 
+        if _jit:
+            return jax.jit(multi_step_fn, donate_argnums=(0,))
         return multi_step_fn
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, rgb_table: RgbRayTable,
                 depth_table: Optional[DepthRayTable],
                 patch: Optional[PatchBatch], vgg_params, rng, aux=None):
@@ -582,7 +584,56 @@ def make_train_step(
             metrics["loss_dis"] = loss_dis
         return state, metrics
 
+    if _jit:
+        return jax.jit(step_fn, donate_argnums=(0,))
     return step_fn
+
+
+def make_cycle_step(cfg: TrainConfig, rcfg: RenderConfig, models: Models,
+                    hwf, *, pre_steps: int, feature_on=False, gan_on=False,
+                    smooth_on=False, precrop_on=False, grid_mode=False,
+                    mesh=None):
+    """Fuse one loss-schedule PERIOD into a single device dispatch.
+
+    The flagship mix interleaves 9 plain iterations with one patch-loss
+    iteration (``feature_loss_every_n=10``, run_nerf.py:1552-1554). The
+    driver used to issue that period as three dispatches (an 8-step scan, a
+    1-step remainder, the patch step), and on the tunneled chip each
+    dispatch costs ~5 ms of enqueue latency against a ~1 ms compute step
+    (scripts/profile_patch_step.py) — the patch WINDOW rate was dominated
+    by launch overhead, not math. This builder composes the K-step scan
+    body and the patch step — the same traced code, NOT re-implementations
+    — into one jitted program: signature matches the multi-step variant,
+    ``iters`` is the [pre_steps + 1] int32 vector whose LAST entry is the
+    patch iteration. Per-step RNG derivation is identical to the unbatched
+    driver (``fold_in(rng, iter)``), so the trajectory is unchanged
+    (asserted exactly in tests/test_dispatch_batching.py).
+    """
+    if pre_steps < 1:
+        raise ValueError("make_cycle_step needs pre_steps >= 1")
+    base = make_train_step(
+        cfg, rcfg, models, hwf, mesh=mesh, precrop_on=precrop_on,
+        k_steps=pre_steps, grid_mode=grid_mode, _jit=False)
+    patch_step = make_train_step(
+        cfg, rcfg, models, hwf, mesh=mesh, feature_on=feature_on,
+        gan_on=gan_on, smooth_on=smooth_on, precrop_on=precrop_on,
+        grid_mode=grid_mode, _jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def cycle_fn(state: TrainState, rgb_table: RgbRayTable,
+                 depth_table: Optional[DepthRayTable], patch, vgg_params,
+                 rng, iters, aux=None):
+        if pre_steps == 1:
+            # k_steps=1 builds the single-step signature (rng pre-folded)
+            state, _ = base(state, rgb_table, depth_table, None, vgg_params,
+                            jax.random.fold_in(rng, iters[0]), aux)
+        else:
+            state, _ = base(state, rgb_table, depth_table, None,
+                            vgg_params, rng, iters[:-1], aux)
+        return patch_step(state, rgb_table, depth_table, patch, vgg_params,
+                          jax.random.fold_in(rng, iters[-1]), aux)
+
+    return cycle_fn
 
 
 def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
@@ -632,4 +683,18 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
                 k_steps=k, grid_mode=grid_on)
         return multi_variants[mkey]
 
-    return StepPlan(select, variant_key, get_multi)
+    cycle_variants = {}
+
+    def get_cycle(pre_steps: int, patch_key):
+        """Fused (pre_steps plain + 1 patch) period fn, cached per shape."""
+        ckey = (pre_steps, patch_key)
+        if ckey not in cycle_variants:
+            f, g, sm, pc = patch_key[:4]
+            grid_on = len(patch_key) > 4 and patch_key[4]
+            cycle_variants[ckey] = make_cycle_step(
+                cfg, rcfg, models, hwf, mesh=mesh, pre_steps=pre_steps,
+                feature_on=f, gan_on=g, smooth_on=sm, precrop_on=pc,
+                grid_mode=grid_on)
+        return cycle_variants[ckey]
+
+    return StepPlan(select, variant_key, get_multi, get_cycle)

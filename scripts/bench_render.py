@@ -39,6 +39,11 @@ def main():
         import dataclasses
 
         rcfg = dataclasses.replace(rcfg, render_fine_only=True)
+    coarse_ds = int(os.environ.get("BENCH_COARSE_DS", 0))
+    if coarse_ds:  # BENCH_COARSE_DS=k: k x k-block downsampled placement
+        import dataclasses
+
+        rcfg = dataclasses.replace(rcfg, render_coarse_downsample=coarse_ds)
     grid_res = int(os.environ.get("BENCH_GRID", 0))
     fine_only = os.environ.get("BENCH_GRID_FINE", "0") == "1"
     models = build_models(cfg, rcfg)
@@ -84,6 +89,7 @@ def main():
     print(json.dumps({
         "metric": (f"render_fps_{H}x{W}" + ("_int8" if int8 else "")
                    + ("_fineonly" if nf_only else "")
+                   + (f"_coarseds{coarse_ds}" if coarse_ds else "")
                    + (f"_grid{grid_res}" if grid_res else "")
                    + ("_gridfineonly" if grid_res and fine_only else "")),
         "value": round(1.0 / dt, 3),

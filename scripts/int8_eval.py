@@ -94,7 +94,11 @@ def main():
                           state.params),
             "fine_only_int8": (dataclasses.replace(
                 rcfg, render_fine_only=True, render_int8=True),
-                state.params)}
+                state.params),
+            # k x k-block downsampled coarse placement (full-res fine pass);
+            # k must divide H and W (here 94x352 -> k=2 only).
+            "coarse_ds2": (dataclasses.replace(
+                rcfg, render_coarse_downsample=2), state.params)}
 
     grid_res = int(os.environ.get("INT8_EVAL_GRID", 192))
     if grid_res:

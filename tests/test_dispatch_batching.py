@@ -87,3 +87,49 @@ def test_batching_disabled():
     cfg = _cfg(steps_per_dispatch=1)
     plan = _Plan()
     assert dispatch_block_len(cfg, plan, 5, plan.variant_key(5)) == 1
+
+
+# ----------------------------------------------------------- cycle fusion
+
+def _cycle(cfg, plan, i):
+    from depth_lidar_nerf_tpu.train.loop import cycle_span
+
+    return cycle_span(cfg, plan, i, plan.variant_key(i), dispatch_k_max(cfg))
+
+
+def test_cycle_span_covers_period_to_patch():
+    # patch every 10: a block starting at 11 fuses 9 plain steps + the
+    # patch iteration at 20 into one dispatch.
+    cfg = _cfg()
+    plan = _Plan(every=10)
+    assert _cycle(cfg, plan, 11) == (9, (True, False, False, False))
+    # starting mid-period still fuses up to the next patch iteration
+    assert _cycle(cfg, plan, 15) == (5, (True, False, False, False))
+
+
+def test_cycle_span_none_on_patch_or_boundary():
+    cfg = _cfg()
+    plan = _Plan(every=10)
+    # a patch iteration itself dispatches solo
+    assert _cycle(cfg, plan, 10) is None
+    # i_print=100 at iteration 100 is also the patch iteration -> the
+    # period ENDING on the boundary is fine
+    assert _cycle(cfg, plan, 91) == (9, (True, False, False, False))
+    # but a boundary strictly inside the plain prefix forbids fusion
+    cfg2 = _cfg(i_print=95)
+    assert _cycle(cfg2, plan, 91) is None
+    # and a block may not START on a boundary (its events must run)
+    cfg3 = _cfg(i_print=91)
+    assert _cycle(cfg3, plan, 91) is None
+
+
+def test_cycle_span_disabled_paths():
+    plan = _Plan(every=10)
+    # flag off
+    assert _cycle(_cfg(cycle_dispatch=False), plan, 11) is None
+    # k-batching off
+    assert _cycle(_cfg(steps_per_dispatch=1), plan, 11) is None
+    # gan_loss makes every post-start iteration a patch iteration
+    assert _cycle(_cfg(gan_loss=True), plan, 11) is None
+    # no patch variant configured at all -> scan path, not cycle
+    assert _cycle(_cfg(), _Plan(), 11) is None

@@ -734,3 +734,27 @@ def test_prewarm_does_not_change_trajectory(scene_dir, tmp_path, monkeypatch):
     b = jax.tree.leaves(s_cold.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_cycle_dispatch_matches_unbatched(scene_dir, tmp_path):
+    """cycle_dispatch (one fused dispatch per plain-steps + patch-step
+    period, step.make_cycle_step) must reproduce the three-dispatch
+    trajectory: the fused program calls the SAME traced step bodies with
+    the same per-iteration rng folds."""
+    import jax
+
+    kw = dict(N_iters=20, i_weights=20, i_print=20, colmap_depth=True,
+              depth_loss=True, feature_loss=True, feature_start_iteration=1,
+              feature_loss_every_n=5, vgg_layers=["conv1_2"],
+              vgg_layer_weights=[1.0], vgg_loss_type="l1",
+              depth_inverse_loss=True, depth_inverse_loss_every_n=5,
+              nH=12, nW=16, gradH=4, gradW=4, steps_per_dispatch=0)
+    cfg_a = _tiny_cfg(scene_dir, tmp_path / "a", cycle_dispatch=False, **kw)
+    sa = train(cfg_a)
+    cfg_b = _tiny_cfg(scene_dir, tmp_path / "b", cycle_dispatch=True, **kw)
+    sb = train(cfg_b)
+    assert int(sa.step) == int(sb.step) == 20
+    for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                    jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
