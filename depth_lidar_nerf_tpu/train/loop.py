@@ -902,7 +902,16 @@ def train(cfg: TrainConfig, metrics_hook=None):
         if cfg.i_print > 0 and i % cfg.i_print == 0:
             maps = {k: np.asarray(v) for k, v in metrics.items()
                     if np.ndim(v) >= 2}
-            m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+            # ONE device->host transfer for all scalar metrics: each
+            # individual float(v) costs a full link round-trip, and over the
+            # tunneled chip ~12 metrics x ~13 ms RTT dominated the print
+            # window (measured: i_print=10 flagship cycles ran 238 ms vs
+            # ~50 ms of compute — PERF.md round 5). The stack is one tiny
+            # device op + a single fetch.
+            names = [k for k, v in metrics.items() if np.ndim(v) == 0]
+            packed = np.asarray(jnp.stack(
+                [jnp.asarray(metrics[k], jnp.float32) for k in names]))
+            m = {k: float(x) for k, x in zip(names, packed)}
             dt = time.time() - t0
             rps = rays_done / dt if dt > 0 else 0.0
             print(f"[TRAIN] iter {i} loss {m['loss']:.5f} psnr {m['psnr']:.2f} "

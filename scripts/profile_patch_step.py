@@ -53,10 +53,12 @@ def main():
     n_rand = int(os.environ.get("PPS_NRAND", 1024))
     width = int(os.environ.get("PPS_WIDTH", 256))
     n_imp = int(os.environ.get("PPS_NI", 64))
-    out = {"s_cdf": s_cdf, "n_rand": n_rand, "width": width, "ni": n_imp}
+    n_img = int(os.environ.get("PPS_IMAGES", 4))
+    out = {"s_cdf": s_cdf, "n_rand": n_rand, "width": width, "ni": n_imp,
+           "images": n_img}
 
     with tempfile.TemporaryDirectory() as d:
-        make_scene(d, n_images=4, H=94, W=352, focal=88.0,
+        make_scene(d, n_images=n_img, H=94, W=352, focal=88.0,
                    n_depth_points=8000, backdrop=True, num_classes=19)
         cfg = TrainConfig(
             datadir=d, dataset_type="llff", factor=0, llffhold=0,
