@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import json
 import os
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -9,6 +9,9 @@ sample_pdf.
 from __future__ import annotations
 
 import time
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -1,5 +1,8 @@
 """Drive: overfit a tiny NeRF on a synthetic scene through the public API, on TPU."""
 import time
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp, numpy as np, optax
 
 from depth_lidar_nerf_tpu.models import NeRFMLP

@@ -11,6 +11,9 @@ Usage: ``python scripts/vgg_style_demo.py [target.png] [out.png]``
 from __future__ import annotations
 
 import sys
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import numpy as np
 
