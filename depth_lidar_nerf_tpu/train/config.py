@@ -178,6 +178,14 @@ class TrainConfig:
     # gan_start every iteration is a patch iteration) and when
     # steps_per_dispatch=1.
     cycle_dispatch: bool = True
+    # Per-ray sample count for the PATCH-loss renders (grad + no-grad legs)
+    # in grid-train mode; 0 = N_importance. The patch renders only feed the
+    # perceptual losses (VGG/LPIPS/GAN/smoothness), and the baked per-ray
+    # CDF concentrates samples on the surface, so fewer samples keep the
+    # patch image faithful while cutting the dominant patch-step cost
+    # (~2/3 is the roofline-bound fine render — PERF.md round 5). Quality
+    # A/B before enabling, like patch_ng_int8.
+    patch_render_samples: int = 0
     # Quantized (W8A8, int8 MXU) forward for EVAL renders only — i_img /
     # i_testset / i_video / render_only frames. Training math (including the
     # no-grad patch render that feeds the perceptual losses) stays bf16.

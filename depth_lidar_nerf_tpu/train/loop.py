@@ -314,11 +314,12 @@ def _validate_flags(cfg: TrainConfig) -> None:
             raise ValueError(
                 "--grid_train needs grid_train_res > 1 and "
                 "grid_rebake_every > 0.")
-    if ((cfg.grid_train_fine_only or cfg.grid_train_samples)
-            and not cfg.grid_train):
+    if ((cfg.grid_train_fine_only or cfg.grid_train_samples
+         or cfg.patch_render_samples) and not cfg.grid_train):
         raise ValueError(
-            "--grid_train_fine_only / --grid_train_samples refine "
-            "--grid_train and need it to be set.")
+            "--grid_train_fine_only / --grid_train_samples / "
+            "--patch_render_samples refine --grid_train and need it to "
+            "be set.")
     defaults = TrainConfig()
     for name in ("testskip", "shape", "half_res"):
         if getattr(cfg, name) != getattr(defaults, name):

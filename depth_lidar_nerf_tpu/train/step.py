@@ -203,18 +203,20 @@ def make_train_step(
     fine_only = grid_mode and cfg.grid_train_fine_only
 
     def _cdf_render(params, rays, w, z_grid, rng, save_acts,
-                    rcfg_r: RenderConfig = rcfg):
+                    rcfg_r: RenderConfig = rcfg, n_imp: int = 0):
         """Grid-mode render: fine pass only; importance samples come from
         the baked per-ray weights (ops/ray_cdf.py) instead of a coarse MLP
         pass. ``w [N, S_cdf]`` are the rays' table rows, gathered by the
-        caller with the same row-gather the step uses for origins."""
+        caller with the same row-gather the step uses for origins.
+        ``n_imp`` overrides the per-ray sample count (patch legs with
+        --patch_render_samples; 0 = cfg.N_importance)."""
         k_strat, k_pdf, k_noise = jax.random.split(rng, 3)
         n = w.shape[0]
         w32 = w.astype(jnp.float32)
         z_mid = 0.5 * (z_grid[1:] + z_grid[:-1])
         z_samples = sample_pdf(
             jnp.broadcast_to(z_mid, (n, z_mid.shape[0])), w32[:, 1:-1],
-            cfg.N_importance, det=not rcfg_r.perturb, rng=k_pdf)
+            n_imp or cfg.N_importance, det=not rcfg_r.perturb, rng=k_pdf)
         z_samples = jax.lax.stop_gradient(z_samples)
         if fine_only:
             z_all = jnp.sort(z_samples, axis=-1)
@@ -370,7 +372,8 @@ def make_train_step(
                 rows_p = _patch_rows(patch)
                 g_out = _cdf_render(params, grad_rays,
                                     shard_rays(aux.w_rgb[rows_p[:n_grad]]),
-                                    aux.z, keys[4], save_acts=True)
+                                    aux.z, keys[4], save_acts=True,
+                                    n_imp=cfg.patch_render_samples)
             else:
                 g_out = render_rays(models.coarse, models.fine, params,
                                     grad_rays, rcfg, rng=keys[4])
@@ -479,7 +482,8 @@ def make_train_step(
             rows_p = _patch_rows(patch)
             w = jax.lax.stop_gradient(aux.w_rgb[rows_p[n_grad:]])
             return _cdf_render(p, ng_rays, shard_rays(w), aux.z, rng,
-                               save_acts=False, rcfg_r=rcfg_ng)
+                               save_acts=False, rcfg_r=rcfg_ng,
+                               n_imp=cfg.patch_render_samples)
         # Eval-mode tiles: the no-grad render dominates patch iterations
         # (run_nerf.py:1600-1644 equivalent), and the primal-only fused
         # forward keeps no activations, so the 16k-ray render sweet spot is

@@ -186,3 +186,59 @@ def test_grid_train_flag_validation(scene_dir, tmp_path):
     with pytest.raises(ValueError, match="grid_train"):
         train(_cfg(scene_dir, tmp_path, grid_train=False,
                    grid_train_fine_only=True))
+
+
+def test_patch_render_samples_patch_step(scene_dir, tmp_path):
+    """--patch_render_samples k renders the patch-loss legs with k fine
+    samples per ray in grid mode (the losses see a [nH, nW] image either
+    way); k = N_importance must reproduce the default path exactly."""
+    import dataclasses as dc
+
+    import jax
+
+    from depth_lidar_nerf_tpu.ops.ray_cdf import bake_ray_cdf
+    from depth_lidar_nerf_tpu.train.config import render_config_from
+    from depth_lidar_nerf_tpu.train.loop import load_scene
+    from depth_lidar_nerf_tpu.train.state import (build_models,
+                                                  init_train_state,
+                                                  init_vgg_params)
+    from depth_lidar_nerf_tpu.train.step import PatchSource, make_train_step
+    from depth_lidar_nerf_tpu.train.tables import (build_depth_table,
+                                                   build_rgb_table)
+
+    cfg = _cfg(scene_dir, tmp_path, colmap_depth=True, depth_loss=True,
+               feature_loss=True,
+                    feature_start_iteration=1, feature_loss_every_n=5,
+                    vgg_layers=["conv1_2"], vgg_layer_weights=[1.0],
+                    vgg_loss_type="l1", nH=12, nW=16, gradH=4, gradW=4,
+                    grid_train_fine_only=True)
+    scene = load_scene(cfg)
+    H, W, focal = scene.hwf
+    rcfg = render_config_from(cfg, 0, scene.near, scene.far)
+    models = build_models(cfg, rcfg)
+    state = init_train_state(cfg, rcfg, models, jax.random.key(0))
+    vgg = init_vgg_params(cfg, models, jax.random.key(7))
+    rgb_t = build_rgb_table(scene.images, scene.poses, scene.i_train, H, W,
+                            focal, rcfg, None)
+    dep_t = build_depth_table(scene.depth_gts, scene.poses, scene.i_train,
+                              H, W, focal, rcfg)
+    cdf = bake_ray_cdf(models, state.params, rcfg, rgb_t, dep_t,
+                       cfg.grid_train_samples or cfg.N_samples)
+    src = PatchSource(
+        images=jnp.asarray(scene.images[scene.i_train], jnp.float32),
+        poses=jnp.asarray(scene.poses[scene.i_train, :3, :4], jnp.float32))
+
+    def run(c):
+        fn = make_train_step(c, rcfg, models, scene.hwf, grid_mode=True,
+                             feature_on=True)
+        stx = jax.tree.map(jnp.copy, state)
+        stx, m = fn(stx, rgb_t, dep_t, src, vgg, jax.random.key(5), cdf)
+        return stx, {k: float(v) for k, v in m.items() if jnp.ndim(v) == 0}
+
+    _, m_def = run(cfg)
+    # k = N_importance is the identical program
+    _, m_same = run(dc.replace(cfg, patch_render_samples=cfg.N_importance))
+    assert m_def == m_same
+    # a smaller k still runs and produces finite losses
+    _, m_small = run(dc.replace(cfg, patch_render_samples=4))
+    assert np.isfinite(m_small["loss"]) and np.isfinite(m_small["feature_loss"])
