@@ -827,12 +827,19 @@ def train(cfg: TrainConfig, metrics_hook=None):
         nonlocal grid_cdf, grid3, grid_last_bake
         from depth_lidar_nerf_tpu.ops.ray_cdf import bake_ray_cdf
 
+        t0 = time.time()
         s_cdf = cfg.grid_train_samples or cfg.N_samples
         grid_cdf = bake_ray_cdf(models, state.params, rcfg, rgb_table,
                                 depth_table, s_cdf)
+        jax.block_until_ready(grid_cdf.w_rgb)
+        t1 = time.time()
         grid3 = bake_grid(rcfg, models, state.params, grid_bounds[0],
                           grid_bounds[1], cfg.grid_train_res,
                           verbose=(grid_last_bake < 0))
+        if os.environ.get("DLNERF_LOG_REBAKE", "0") == "1":
+            jax.block_until_ready(grid3[0])
+            print(f"[grid] rebake@{i}: cdf {t1 - t0:.2f}s, "
+                  f"grid3 {time.time() - t1:.2f}s")
         if mesh is not None:
             from depth_lidar_nerf_tpu.parallel.mesh import replicate
 
