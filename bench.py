@@ -211,6 +211,7 @@ def main():
 
         env = dict(os.environ, BENCH_SEMANTIC="1", BENCH_NETDEPTH_FINE="8",
                    BENCH_REF_DEFAULT="0", BENCH_STRICT_LINE="0",
+                   BENCH_FLAGSHIP="0",
                    BENCH_GRID_TRAIN="1" if grid_train else "0")
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True)
@@ -221,6 +222,36 @@ def main():
                 out["ref_default_semantic"] = sub["value"]
         except (json.JSONDecodeError, IndexError, KeyError):
             out["ref_default_error"] = (proc.stderr or "no output")[-400:]
+
+    # ---- the flagship seven-loss WINDOW rate ---------------------------
+    # The full perceptual mix (RGB + depth + semantic + VGG feature +
+    # smoothness, 94x352 full-image patches every 10th iter, N_rand=1024)
+    # in a clean subprocess: 900 iters on the hard scene, grid transition
+    # at 100, recommended round-5 mode (cycle dispatch + quality-gated
+    # --patch_render_samples 32). Reported as the median steady window.
+    if _env_flag("BENCH_FLAGSHIP", "1"):
+        import re
+        import subprocess
+        import sys
+
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "flagship_quality.py")
+        proc = subprocess.run(
+            [sys.executable, script, "--hard",
+             "--grid_train", "True", "--grid_train_fine_only", "True",
+             "--grid_train_samples", "128", "--patch_render_samples", "32",
+             "--grid_train_after", "100", "--N_iters", "900",
+             "--i_print", "100", "--i_weights", "0", "--no_reload", "True",
+             "--i_testset", "0", "--expname", "bench_flagship"],
+            capture_output=True, text=True, timeout=1800)
+        wins = [(int(m.group(1)), float(m.group(2).replace(",", "")))
+                for m in re.finditer(
+                    r"iter (\d+) .* rays/s ([\d,]+)", proc.stdout)]
+        steady = sorted(r for i, r in wins if i >= 400)
+        if steady:
+            out["flagship_window"] = round(steady[len(steady) // 2], 1)
+        else:
+            out["flagship_window_error"] = (proc.stderr or "no output")[-400:]
 
     print(json.dumps({
         "metric": ("train_rays_per_sec_semantic" if semantic

@@ -48,6 +48,10 @@ def main():
                          "N_importance CDF-placed samples (no stratified "
                          "union) — half the fine MLP evals; gate with this "
                          "A/B")
+    ap.add_argument("--patch-render-samples", type=int, default=0,
+                    help="per-ray sample count for the patch-loss renders "
+                         "in grid mode (0 = N_importance); quality-gated "
+                         "round-5 fast mode uses 32")
     ap.add_argument("--grid-samples", type=int, default=0,
                     help="bake z-grid resolution (0 = N_samples); raise to "
                          "sharpen the CDF when --grid-fine-only")
@@ -87,7 +91,8 @@ def main():
                           grid_rebake_every=args.grid_rebake,
                           grid_train_res=args.grid_res,
                           grid_train_fine_only=args.grid_fine_only,
-                          grid_train_samples=args.grid_samples)
+                          grid_train_samples=args.grid_samples,
+                          patch_render_samples=args.patch_render_samples)
     scene = L.load_scene(cfg)
     H, W, focal = scene.hwf
     rcfg = render_config_from(cfg, scene.num_semantic_classes, scene.near,
@@ -164,19 +169,29 @@ def main():
                                 grid_bounds[1], cfg.grid_train_res,
                                 verbose=(grid_last_bake < 0))
             grid_last_bake = i
-        k = L.dispatch_block_len(cfg, plan, i, key, k_max)
-        if k > 1:
-            state, metrics = plan.get_multi(k, key[3], grid_on)(
-                state, rgb_t, dep_t, None, vgg_params, rng,
-                jnp.arange(i, i + k, dtype=jnp.int32),
+        cyc = L.cycle_span(cfg, plan, i, key, k_max)
+        if cyc is not None:
+            d, pkey = cyc
+            state, metrics = plan.get_cycle(d, pkey)(
+                state, rgb_t, dep_t, patch_source, vgg_params, rng,
+                jnp.arange(i, i + d + 1, dtype=jnp.int32),
                 grid_cdf if grid_on else None)
-            metrics = {kk: v[-1] for kk, v in metrics.items()}
+            k = d + 1
         else:
-            step_fn, needs_patch = plan.select(i)
-            patch = patch_source if needs_patch else None
-            state, metrics = step_fn(state, rgb_t, dep_t, patch, vgg_params,
-                                     jax.random.fold_in(rng, i),
-                                     grid_cdf if grid_on else None)
+            k = L.dispatch_block_len(cfg, plan, i, key, k_max)
+            if k > 1:
+                state, metrics = plan.get_multi(k, key[3], grid_on)(
+                    state, rgb_t, dep_t, None, vgg_params, rng,
+                    jnp.arange(i, i + k, dtype=jnp.int32),
+                    grid_cdf if grid_on else None)
+                metrics = {kk: v[-1] for kk, v in metrics.items()}
+            else:
+                step_fn, needs_patch = plan.select(i)
+                patch = patch_source if needs_patch else None
+                state, metrics = step_fn(state, rgb_t, dep_t, patch,
+                                         vgg_params,
+                                         jax.random.fold_in(rng, i),
+                                         grid_cdf if grid_on else None)
         i += k - 1
         if i % 100 == 0 or i <= k:
             jax.block_until_ready(metrics["loss"])
