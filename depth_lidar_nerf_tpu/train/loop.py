@@ -357,20 +357,21 @@ def _event_boundary(cfg: TrainConfig, j: int) -> bool:
 
 def cycle_span(cfg: TrainConfig, plan, i: int, key, k_max: int,
                cap: int = 32):
-    """Fused-period block starting at iteration ``i``: ``d`` plain steps
-    followed by one patch step, dispatched as ONE program
-    (step.make_cycle_step). Returns ``(d, patch_key)`` or None.
+    """Fused-period block starting at iteration ``i``: ``d`` uniform
+    ``key``-variant steps followed by ONE step of the next variant, all
+    dispatched as a single program (step.make_cycle_step). Returns
+    ``(d, tail_key)`` or None.
 
-    Conditions: ``i..i+d-1`` all share the plain variant ``key`` with no
-    event boundary strictly inside, and ``i+d`` is a patch iteration whose
-    precrop/grid flags match. On the tunneled chip this removes two of the
-    three dispatch launches per loss-schedule period (~5 ms each,
-    scripts/profile_patch_step.py — the round-5 flagship window lever)."""
-    if (not cfg.cycle_dispatch or k_max <= 1 or any(key[:3])
-            or cfg.gan_loss):
-        # gan_loss: once past gan_start_iteration EVERY iteration is a
-        # patch iteration (run_nerf.py:1552-1554), so no plain prefix
-        # exists and the single-step path already applies.
+    Conditions: ``i..i+d-1`` all share ``key`` with no event boundary
+    strictly inside, and ``i+d``'s variant differs only in its patch-loss
+    flags (precrop/grid must match). This fuses the flagship period
+    (9 plain + 1 feature/smooth patch step) AND the GAN phase's period
+    (9 gan-only + 1 gan+feature+smooth — every post-gan_start iteration
+    is a patch iteration, run_nerf.py:1552-1554; the in-jit patch sampler
+    makes patch prefixes scannable). On the tunneled chip each saved
+    dispatch is ~3-5 ms of launch latency (scripts/profile_patch_step.py
+    — the round-5 flagship window lever)."""
+    if not cfg.cycle_dispatch or k_max <= 1:
         return None
     if _event_boundary(cfg, i):
         # i's own events must run this iteration — only the block's LAST
@@ -381,11 +382,11 @@ def cycle_span(cfg: TrainConfig, plan, i: int, key, k_max: int,
         if j > cfg.N_iters:
             return None
         pkey = plan.variant_key(j)
-        if any(pkey[:3]):
+        if pkey != key:
             if pkey[3:] != key[3:]:
                 return None
             return (d, pkey)
-        if pkey != key or _event_boundary(cfg, j):
+        if _event_boundary(cfg, j):
             return None
     return None
 
@@ -402,7 +403,7 @@ def dispatch_block_len(cfg: TrainConfig, plan, i: int, key,
     driver."""
     if k_max is None:
         k_max = dispatch_k_max(cfg)
-    if any(key[:3]) or k_max <= 1:
+    if k_max <= 1:
         return 1
 
     def _is_boundary(j: int) -> bool:
@@ -461,11 +462,11 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
         key = plan.variant_key(i)
         cyc = cycle_span(cfg, plan, i, key, k_max)
         if cyc is not None:
-            job = ("cycle",) + cyc
+            job = ("cycle", cyc[0], cyc[1], key)
             k = cyc[0] + 1
         else:
             k = dispatch_block_len(cfg, plan, i, key, k_max)
-            job = ("multi", k, key[3], key[4]) if k > 1 else ("single", key, i)
+            job = (("multi", k, key) if k > 1 else ("single", key, i))
         sig = (job[0], job[1]) if job[0] == "single" else job
         if first:
             first = False  # the main thread compiles its own first block
@@ -486,9 +487,13 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
     fns = []
     for job in jobs:
         if job[0] == "multi":
-            fns.append((plan.get_multi(job[1], job[2], job[3]), job))
+            mkey = job[2]
+            fns.append((plan.get_multi(
+                job[1], mkey[3], mkey[4],
+                patch_key=mkey if any(mkey[:3]) else None), job))
         elif job[0] == "cycle":
-            fns.append((plan.get_cycle(job[1], job[2]), job))
+            fns.append((plan.get_cycle(job[1], job[2],
+                                       prefix_key=job[3]), job))
         else:
             fns.append((plan.select(job[2])[0], job))
 
@@ -519,9 +524,11 @@ def _prewarm_async(cfg: TrainConfig, plan, models: Models, rcfg, scene, state,
         try:
             st = _clone()
             if job[0] == "multi":
-                fn(st, rgb_table, depth_table, None, vgg_params, rng,
-                   jnp.arange(1, 1 + job[1], dtype=jnp.int32),
-                   dummy_grid if job[3] else None)
+                mkey = job[2]
+                fn(st, rgb_table, depth_table,
+                   patch_source if any(mkey[:3]) else None, vgg_params,
+                   rng, jnp.arange(1, 1 + job[1], dtype=jnp.int32),
+                   dummy_grid if mkey[4] else None)
             elif job[0] == "cycle":
                 fn(st, rgb_table, depth_table, patch_source, vgg_params,
                    rng, jnp.arange(1, 2 + job[1], dtype=jnp.int32),
@@ -882,7 +889,7 @@ def train(cfg: TrainConfig, metrics_hook=None):
         cyc = cycle_span(cfg, plan, i, key, k_max)
         if cyc is not None:
             d, pkey = cyc
-            step_fn = plan.get_cycle(d, pkey)
+            step_fn = plan.get_cycle(d, pkey, prefix_key=key)
             state, metrics = step_fn(
                 state, rgb_table, depth_table, patch_source, vgg_params,
                 rng, jnp.arange(i, i + d + 1, dtype=jnp.int32),
@@ -891,10 +898,13 @@ def train(cfg: TrainConfig, metrics_hook=None):
         else:
             k = dispatch_block_len(cfg, plan, i, key, k_max)
             if k > 1:
-                step_fn = plan.get_multi(k, key[3], grid_on)
+                step_fn = plan.get_multi(
+                    k, key[3], grid_on,
+                    patch_key=key if any(key[:3]) else None)
                 state, metrics = step_fn(
-                    state, rgb_table, depth_table, None, vgg_params, rng,
-                    jnp.arange(i, i + k, dtype=jnp.int32),
+                    state, rgb_table, depth_table,
+                    patch_source if any(key[:3]) else None, vgg_params,
+                    rng, jnp.arange(i, i + k, dtype=jnp.int32),
                     grid_cdf if grid_on else None)
                 metrics = {kk: v[-1] for kk, v in metrics.items()}
             else:

@@ -528,45 +528,19 @@ def make_train_step(
         new_dp = optax.apply_updates(state.disc_params, upd)
         return state.replace(disc_params=new_dp, disc_opt_state=new_dopt), ld
 
-    if k_steps > 1:
-        if patch_mode:
-            raise ValueError("k_steps batching applies to non-patch variants")
+    def _iter_body(state, rng_i, rgb_table, depth_table, patch, vgg_params,
+                   aux):
+        """One optimizer iteration (+ discriminator step when gan_on).
 
-        def multi_step_fn(state: TrainState, rgb_table: RgbRayTable,
-                          depth_table: Optional[DepthRayTable],
-                          patch, vgg_params, rng, iters, aux=None):
-            del patch
-
-            def body(st, it):
-                # Same key derivation as the unbatched loop + step:
-                # fold_in(rng, i) then split(·, 3)[1] is the loss key.
-                _, k_loss, _ = jax.random.split(
-                    jax.random.fold_in(rng, it), 3)
-                grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-                (_, (metrics, _)), grads = grad_fn(
-                    st.params, st.step, rgb_table, depth_table, None, None,
-                    vgg_params, st.disc_params, k_loss, aux)
-                upd, new_opt = optimizer.update(grads, st.opt_state,
-                                                st.params)
-                st = st.replace(
-                    params=constrain_params(optax.apply_updates(st.params, upd)),
-                    opt_state=constrain_params(new_opt), step=st.step + 1)
-                return st, metrics
-
-            return jax.lax.scan(body, state, iters)
-
-        if _jit:
-            return jax.jit(multi_step_fn, donate_argnums=(0,))
-        return multi_step_fn
-
-    def step_fn(state: TrainState, rgb_table: RgbRayTable,
-                depth_table: Optional[DepthRayTable],
-                patch: Optional[PatchBatch], vgg_params, rng, aux=None):
-        k_ng, k_loss, k_disc = jax.random.split(rng, 3)
+        ``rng_i`` is the per-iteration key — ``fold_in(global_rng, i)`` —
+        so the SAME derivation serves the unbatched step, the K-step scan,
+        and the fused cycle (trajectory identity across all dispatch
+        shapes; asserted in tests)."""
+        k_ng, k_loss, k_disc = jax.random.split(rng_i, 3)
         pre_update_step = state.step
         if patch_mode and isinstance(patch, PatchSource):
             # In-jit patch sampling: no per-iteration host uploads.
-            patch = sample_patch(patch, jax.random.fold_in(rng, 17),
+            patch = sample_patch(patch, jax.random.fold_in(rng_i, 17),
                                  cfg.nH, cfg.nW)
         ng_patch = (ng_render(state.params, patch, k_ng, aux)
                     if patch_mode else None)
@@ -588,6 +562,38 @@ def make_train_step(
             metrics["loss_dis"] = loss_dis
         return state, metrics
 
+    if k_steps > 1:
+        def multi_step_fn(state: TrainState, rgb_table: RgbRayTable,
+                          depth_table: Optional[DepthRayTable],
+                          patch, vgg_params, rng, iters, aux=None):
+            # Patch variants scan too (round 5): the GAN phase makes EVERY
+            # iteration a patch iteration (run_nerf.py:1552-1554), and the
+            # in-jit sampler makes the scan body self-contained. A
+            # PatchBatch (fixed crop) cannot be scanned — it would repeat
+            # the same crop every inner step.
+            if patch_mode and not isinstance(patch, PatchSource):
+                raise ValueError(
+                    "k_steps batching of a patch variant needs a "
+                    "PatchSource (in-jit sampling), not a fixed PatchBatch")
+
+            def body(st, it):
+                return _iter_body(st, jax.random.fold_in(rng, it),
+                                  rgb_table, depth_table,
+                                  patch if patch_mode else None,
+                                  vgg_params, aux)
+
+            return jax.lax.scan(body, state, iters)
+
+        if _jit:
+            return jax.jit(multi_step_fn, donate_argnums=(0,))
+        return multi_step_fn
+
+    def step_fn(state: TrainState, rgb_table: RgbRayTable,
+                depth_table: Optional[DepthRayTable],
+                patch: Optional[PatchBatch], vgg_params, rng, aux=None):
+        return _iter_body(state, rng, rgb_table, depth_table, patch,
+                          vgg_params, aux)
+
     if _jit:
         return jax.jit(step_fn, donate_argnums=(0,))
     return step_fn
@@ -596,7 +602,7 @@ def make_train_step(
 def make_cycle_step(cfg: TrainConfig, rcfg: RenderConfig, models: Models,
                     hwf, *, pre_steps: int, feature_on=False, gan_on=False,
                     smooth_on=False, precrop_on=False, grid_mode=False,
-                    mesh=None):
+                    prefix=(False, False, False), mesh=None):
     """Fuse one loss-schedule PERIOD into a single device dispatch.
 
     The flagship mix interleaves 9 plain iterations with one patch-loss
@@ -615,8 +621,11 @@ def make_cycle_step(cfg: TrainConfig, rcfg: RenderConfig, models: Models,
     """
     if pre_steps < 1:
         raise ValueError("make_cycle_step needs pre_steps >= 1")
+    pf, pg, ps = prefix
+    prefix_patch = pf or pg or ps  # prefix steps need the PatchSource too
     base = make_train_step(
         cfg, rcfg, models, hwf, mesh=mesh, precrop_on=precrop_on,
+        feature_on=pf, gan_on=pg, smooth_on=ps,
         k_steps=pre_steps, grid_mode=grid_mode, _jit=False)
     patch_step = make_train_step(
         cfg, rcfg, models, hwf, mesh=mesh, feature_on=feature_on,
@@ -627,12 +636,14 @@ def make_cycle_step(cfg: TrainConfig, rcfg: RenderConfig, models: Models,
     def cycle_fn(state: TrainState, rgb_table: RgbRayTable,
                  depth_table: Optional[DepthRayTable], patch, vgg_params,
                  rng, iters, aux=None):
+        p_base = patch if prefix_patch else None
         if pre_steps == 1:
             # k_steps=1 builds the single-step signature (rng pre-folded)
-            state, _ = base(state, rgb_table, depth_table, None, vgg_params,
-                            jax.random.fold_in(rng, iters[0]), aux)
+            state, _ = base(state, rgb_table, depth_table, p_base,
+                            vgg_params, jax.random.fold_in(rng, iters[0]),
+                            aux)
         else:
-            state, _ = base(state, rgb_table, depth_table, None,
+            state, _ = base(state, rgb_table, depth_table, p_base,
                             vgg_params, rng, iters[:-1], aux)
         return patch_step(state, rgb_table, depth_table, patch, vgg_params,
                           jax.random.fold_in(rng, iters[-1]), aux)
@@ -678,27 +689,37 @@ def build_step_fns(cfg: TrainConfig, rcfg: RenderConfig, models: Models, hwf,
         fn = get_variant(*key)
         return fn, any(key[:3])
 
-    def get_multi(k: int, precrop_on: bool, grid_on: bool = False):
-        """K-step scan variant (non-patch only; one per (k, precrop, grid))."""
-        mkey = (k, precrop_on, grid_on)
+    def get_multi(k: int, precrop_on: bool, grid_on: bool = False,
+                  patch_key=None):
+        """K-step scan of ANY uniform variant (patch variants ride the
+        in-jit sampler); cached per (k, variant)."""
+        f, g, sm = (patch_key[:3] if patch_key is not None
+                    else (False, False, False))
+        mkey = (k, precrop_on, grid_on, f, g, sm)
         if mkey not in multi_variants:
             multi_variants[mkey] = make_train_step(
                 cfg, rcfg, models, hwf, mesh=mesh, precrop_on=precrop_on,
+                feature_on=f, gan_on=g, smooth_on=sm,
                 k_steps=k, grid_mode=grid_on)
         return multi_variants[mkey]
 
     cycle_variants = {}
 
-    def get_cycle(pre_steps: int, patch_key):
-        """Fused (pre_steps plain + 1 patch) period fn, cached per shape."""
-        ckey = (pre_steps, patch_key)
+    def get_cycle(pre_steps: int, patch_key, prefix_key=None):
+        """Fused (pre_steps uniform-variant + 1 tail-variant) period fn,
+        cached per shape. ``prefix_key`` carries the prefix's own patch
+        flags (e.g. the GAN phase fuses 9 gan-only steps + the full
+        gan+feature+smooth iteration)."""
+        prefix = (prefix_key[:3] if prefix_key is not None
+                  else (False, False, False))
+        ckey = (pre_steps, patch_key, prefix)
         if ckey not in cycle_variants:
             f, g, sm, pc = patch_key[:4]
             grid_on = len(patch_key) > 4 and patch_key[4]
             cycle_variants[ckey] = make_cycle_step(
                 cfg, rcfg, models, hwf, mesh=mesh, pre_steps=pre_steps,
                 feature_on=f, gan_on=g, smooth_on=sm, precrop_on=pc,
-                grid_mode=grid_on)
+                grid_mode=grid_on, prefix=prefix)
         return cycle_variants[ckey]
 
     return StepPlan(select, variant_key, get_multi, get_cycle)

@@ -107,11 +107,12 @@ def test_cycle_span_covers_period_to_patch():
     assert _cycle(cfg, plan, 15) == (5, (True, False, False, False))
 
 
-def test_cycle_span_none_on_patch_or_boundary():
+def test_cycle_span_boundaries():
     cfg = _cfg()
     plan = _Plan(every=10)
-    # a patch iteration itself dispatches solo
-    assert _cycle(cfg, plan, 10) is None
+    # starting AT a patch iteration: the variant switches at the very next
+    # step, so the fused block is (1 patch step + 1 plain step)
+    assert _cycle(cfg, plan, 10) == (1, (False, False, False, False))
     # i_print=100 at iteration 100 is also the patch iteration -> the
     # period ENDING on the boundary is fine
     assert _cycle(cfg, plan, 91) == (9, (True, False, False, False))
@@ -129,7 +130,45 @@ def test_cycle_span_disabled_paths():
     assert _cycle(_cfg(cycle_dispatch=False), plan, 11) is None
     # k-batching off
     assert _cycle(_cfg(steps_per_dispatch=1), plan, 11) is None
-    # gan_loss makes every post-start iteration a patch iteration
-    assert _cycle(_cfg(gan_loss=True), plan, 11) is None
-    # no patch variant configured at all -> scan path, not cycle
+    # no variant switch at all within the cap -> scan path, not cycle
     assert _cycle(_cfg(), _Plan(), 11) is None
+
+
+class _GanPlan:
+    """Stub of the GAN phase: gan on EVERY iteration, feature+smooth on
+    multiples of ``every`` (run_nerf.py:1552-1554)."""
+
+    def __init__(self, every=10):
+        self.every = every
+
+    def variant_key(self, i):
+        full = bool(i % self.every == 0)
+        return (full, True, full, False)
+
+
+def test_cycle_span_fuses_gan_phase():
+    # prefix = 9 gan-only patch steps, tail = the gan+feature+smooth
+    # iteration; both are patch variants (round-5 generalization).
+    cfg = _cfg(gan_loss=True)
+    plan = _GanPlan(every=10)
+    assert _cycle(cfg, plan, 11) == (9, (True, True, True, False))
+    assert _cycle(cfg, plan, 15) == (5, (True, True, True, False))
+    # a tail differing in precrop/grid flags is NOT fusable
+    class _P2(_GanPlan):
+        def variant_key(self, i):
+            k = super().variant_key(i)
+            return k[:3] + (i % self.every == 0,)
+    assert _cycle(cfg, _P2(every=10), 11) is None
+
+
+def test_patch_variant_k_blocks():
+    # a uniform patch phase with no upcoming switch forms K-scan blocks
+    # (the in-jit sampler makes patch bodies scannable)
+    cfg = _cfg(gan_loss=True)
+
+    class _GanOnly:
+        def variant_key(self, i):
+            return (False, True, False, False)
+
+    k = dispatch_block_len(cfg, _GanOnly(), 11, (False, True, False, False))
+    assert k & (k - 1) == 0 and k > 1

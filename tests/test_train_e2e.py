@@ -758,3 +758,34 @@ def test_cycle_dispatch_matches_unbatched(scene_dir, tmp_path):
                     jax.tree_util.tree_leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_gan_phase_batching_matches_unbatched(scene_dir, tmp_path):
+    """Past gan_start EVERY iteration is a patch iteration
+    (run_nerf.py:1552-1554); the round-5 generalization scans and
+    cycle-fuses those patch variants (in-jit sampling). Trajectory must
+    match the one-dispatch-per-step baseline for BOTH generator and
+    discriminator parameters."""
+    import jax
+
+    kw = dict(N_iters=24, i_weights=24, i_print=24, colmap_depth=True,
+              depth_loss=True, gan_loss=True, gan_start_iteration=4,
+              gan_lambda=0.05, depth_inverse_loss=True,
+              depth_inverse_loss_every_n=8,
+              nH=12, nW=16, gradH=4, gradW=4)
+    cfg_a = _tiny_cfg(scene_dir, tmp_path / "a", steps_per_dispatch=1,
+                      cycle_dispatch=False, **kw)
+    sa = train(cfg_a)
+    cfg_b = _tiny_cfg(scene_dir, tmp_path / "b", steps_per_dispatch=0,
+                      cycle_dispatch=True, **kw)
+    sb = train(cfg_b)
+    assert int(sa.step) == int(sb.step) == 24
+    for tree_a, tree_b in ((sa.params, sb.params),
+                           (sa.disc_params, sb.disc_params)):
+        for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            # atol 4e-6: the scanned discriminator step fuses differently
+            # from the per-step dispatch (float reassociation only — the
+            # printed loss/psnr trajectories are bit-identical)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=4e-6)
